@@ -1,0 +1,20 @@
+"""Test configuration: run on a virtual 8-device CPU mesh with x64 available.
+
+The sandbox presets JAX_PLATFORMS=axon (the real TPU tunnel) and pre-imports
+jax via a sitecustomize hook, so plain env-var edits here are too late; we
+override through jax.config instead. Tests always run on CPU so they are fast,
+deterministic, and can use f64 oracles; `bench.py` and `__graft_entry__.py`
+use the real device.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
