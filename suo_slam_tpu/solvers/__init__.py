@@ -1,1 +1,1 @@
-from . import p3p, pnp  # noqa: F401
+from . import ba, p3p, pnp  # noqa: F401

@@ -1,0 +1,326 @@
+"""Fixed-sparsity camera+object pose-graph bundle adjustment on device.
+
+TPU-native replacement for the reference's g2o back-end
+(`lib/object_slam.py:703-930` + `thirdparty/g2opy`): the per-edge Python graph
+construction, Levenberg-Marquardt solve (BlockSolverSE3 + Cholmod), Huber
+robust kernels, and the edge-"level" inlier/outlier switching are all replaced
+by one jitted program over fixed-capacity arrays:
+
+  state:      cam poses T_GtoC [V, 4, 4], object poses T_OtoG [O, 4, 4]
+  residuals:  r[v, o, k] = uv_meas - pi(cam_k[v, o], T_GtoC[v] T_OtoG[o] p[o, k])
+  weights:    2x2 information (inverse predicted keypoint covariance) per
+              measurement, times a Huber IRLS factor, times masks.
+
+The analytic Jacobians match the reference's custom g2o edges
+(`types_object_slam.cpp:70-123`): left-multiplicative se(3) updates
+T <- exp(delta) T with d p / d [omega, v] = [-hat(p) | I].
+
+Semantics preserved from the reference optimize():
+- rounds of LM with chi2 <= 5.991 (95%, 2 DoF) inlier reclassification between
+  rounds (`object_slam.py:843-896`), outliers excluded from the solve but
+  re-tested every round (the "edge level" mechanism);
+- Huber kernel sqrt(5.991) active for the first half of the rounds, dropped
+  after round len//2 (`object_slam.py:894-896`);
+- vertices with no inlier edges don't move; first active camera is the gauge
+  (reference fixes the first-inserted camera, `object_slam.py:774`);
+- tracking mode = unary edges with all objects fixed (EdgeSE3ProjectFromFixedObject).
+
+The normal equations are assembled densely over 6(V+O) states and solved with
+a Jacobi-preconditioned Cholesky — at the problem sizes of this system
+(<= a few hundred poses) a dense solve on the MXU beats sparse Cholmod on CPU
+by orders of magnitude and keeps the whole loop on device.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+
+CHI2_THRESH_2DOF = 5.991  # 95% for 2 DoF (reference `object_slam.py:831`)
+HUBER_DELTA = math.sqrt(CHI2_THRESH_2DOF)
+DEFAULT_GLOBAL_ROUNDS = (10, 10, 40, 40)  # `object_slam.py:843-846`
+DEFAULT_TRACKING_ROUNDS = (10, 10, 10, 10)
+
+
+class BAProblem(NamedTuple):
+    """Fixed-capacity measurement buffers for the pose graph.
+
+    V = view capacity, O = object capacity, K = keypoint vocabulary size.
+    """
+
+    cam_T: jax.Array      # [V, 4, 4] T_GtoC
+    obj_T: jax.Array      # [O, 4, 4] T_OtoG
+    uv: jax.Array         # [V, O, K, 2] measured NDC keypoints
+    info: jax.Array       # [V, O, K, 2, 2] information (inv covariance)
+    model_kp: jax.Array   # [O, K, 3] object-frame 3D keypoints
+    cam_k: jax.Array      # [V, O, 4] per-detection (fx, fy, cx, cy) in NDC
+    valid: jax.Array      # [V, O, K] bool measurement exists
+    inliers: jax.Array    # [V, O, K] bool current inlier classification
+    cam_active: jax.Array  # [V] bool view slot occupied
+    obj_active: jax.Array  # [O] bool object slot occupied
+
+
+class BAResult(NamedTuple):
+    cam_T: jax.Array
+    obj_T: jax.Array
+    inliers: jax.Array   # [V, O, K] updated classification
+    num_inliers: jax.Array
+    total_chi2: jax.Array
+
+
+def _reorthonormalize(T: jax.Array) -> jax.Array:
+    """Project the rotation block back onto SO(3) (quaternion round-trip).
+
+    Keeps f32 pose chains from drifting off the manifold over many LM
+    iterations (the reference's g2o stores SE3Quat, which renormalizes the
+    quaternion implicitly)."""
+    R = lie.quat_to_R(lie.R_to_quat(T[..., :3, :3]))
+    return T.at[..., :3, :3].set(R)
+
+
+def _edge_terms(cam_T, obj_T, uv, info, model_kp, cam_k):
+    """Residuals, chi2 and Jacobians for every (v, o, k) edge.
+
+    Returns r [V,O,K,2], chi2 [V,O,K], z [V,O,K], J_cam [V,O,K,2,6],
+    J_obj [V,O,K,2,6].
+    """
+    dtype = cam_T.dtype
+    V = cam_T.shape[0]
+    O, K = model_kp.shape[0], model_kp.shape[1]
+    R_wo = obj_T[:, :3, :3]
+    t_wo = obj_T[:, :3, 3]
+    p_G = jnp.einsum("oij,okj->oki", R_wo, model_kp) + t_wo[:, None, :]  # [O,K,3]
+    R_cw = cam_T[:, :3, :3]
+    t_cw = cam_T[:, :3, 3]
+    p_C = jnp.einsum("vij,okj->voki", R_cw, p_G) + t_cw[:, None, None, :]  # [V,O,K,3]
+
+    fx = cam_k[..., 0][..., None]  # [V,O,1]
+    fy = cam_k[..., 1][..., None]
+    cx = cam_k[..., 2][..., None]
+    cy = cam_k[..., 3][..., None]
+    z = p_C[..., 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    iz = 1.0 / safe_z
+    u_est = fx * p_C[..., 0] * iz + cx
+    v_est = fy * p_C[..., 1] * iz + cy
+    r = uv - jnp.stack([u_est, v_est], axis=-1)  # [V,O,K,2]
+    chi2 = jnp.einsum("voki,vokij,vokj->vok", r, info, r)
+
+    # d uv_est / d p_C, then residual jac = -that (r = meas - est)
+    zeros = jnp.zeros_like(z)
+    Jproj = jnp.stack(
+        [
+            jnp.stack([fx * iz, zeros, -fx * p_C[..., 0] * iz * iz], -1),
+            jnp.stack([zeros, fy * iz, -fy * p_C[..., 1] * iz * iz], -1),
+        ],
+        axis=-2,
+    )  # [V,O,K,2,3]
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (V, O, K, 3, 3))
+    Dcam = jnp.concatenate([-lie.hat(p_C), eye3], axis=-1)  # [V,O,K,3,6]
+    J_cam = -(Jproj @ Dcam)
+    # object: dp_C = R_cw dp_G, dp_G = [-hat(p_G) | I] delta_o
+    Dobj = jnp.concatenate(
+        [-lie.hat(p_G), jnp.broadcast_to(jnp.eye(3, dtype=dtype), (O, K, 3, 3))], axis=-1
+    )  # [O,K,3,6]
+    RD = jnp.einsum("vij,okjl->vokil", R_cw, Dobj)  # [V,O,K,3,6]
+    J_obj = -(Jproj @ RD)
+    return r, chi2, z, J_cam, J_obj
+
+
+def _solve_normal_eq(H, g, free_mask6):
+    """Jacobi-preconditioned solve of H delta = -g with frozen rows masked.
+
+    free_mask6: [D] 0/1 per scalar state. Frozen states get delta = 0.
+    """
+    dtype = H.dtype
+    D = H.shape[0]
+    m = free_mask6
+    # freeze: identity rows/cols for frozen states
+    H = H * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+    g = g * m
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(H), 1e-12))
+    dinv = 1.0 / d
+    Hs = H * dinv[:, None] * dinv[None, :]
+    gs = g * dinv
+    # tiny Tikhonov for f32 safety
+    Hs = Hs + jnp.eye(D, dtype=dtype) * 1e-9
+    L, lower = jax.scipy.linalg.cho_factor(Hs, lower=True)
+    y = jax.scipy.linalg.cho_solve((L, lower), -gs)
+    delta = y * dinv * m
+    ok = jnp.all(jnp.isfinite(delta))
+    return jnp.where(ok, delta, jnp.zeros_like(delta)), ok
+
+
+@partial(jax.jit, static_argnames=("iters_per_round", "tracking_only", "fix_first_cam", "init_with_outliers", "huber_delta", "chi2_thresh"))
+def optimize(
+    problem: BAProblem,
+    iters_per_round: tuple[int, ...] = DEFAULT_GLOBAL_ROUNDS,
+    tracking_only: bool = False,
+    fix_first_cam: bool = True,
+    init_with_outliers: bool = False,
+    huber_delta: float = HUBER_DELTA,
+    chi2_thresh: float = CHI2_THRESH_2DOF,
+) -> BAResult:
+    """Run the robust LM schedule with chi2 reclassification between rounds.
+
+    tracking_only: objects frozen (unary edges) and no camera gauge fixing —
+      the reference's `optimize(curr_only=True)` with the current view as the
+      only free vertex. Callers pass a problem whose cam slots contain just
+      the current view (V may still be >1 with cam_active masking).
+    """
+    dtype = problem.cam_T.dtype
+    V, O, K = problem.valid.shape
+    act_vo = problem.cam_active[:, None] & problem.obj_active[None, :]
+    valid = problem.valid & act_vo[..., None]
+
+    # ---- initial classification (reference `object_slam.py:849-866`) ----
+    if init_with_outliers:
+        inliers0 = valid
+    else:
+        _, chi2_0, _, _, _ = _edge_terms(
+            problem.cam_T, problem.obj_T, problem.uv, problem.info, problem.model_kp, problem.cam_k
+        )
+        inliers0 = valid & (chi2_0 <= chi2_thresh)
+
+    huber_d = jnp.asarray(huber_delta, dtype)
+
+    def vertex_masks(inl):
+        """Active vertices given the current inlier classification."""
+        cam_edges = jnp.sum(inl, axis=(1, 2))  # [V]
+        obj_edges = jnp.sum(inl, axis=(0, 2))  # [O]
+        cam_in_graph = (cam_edges > 0) & problem.cam_active
+        obj_in_graph = (obj_edges > 0) & problem.obj_active
+        if tracking_only:
+            cam_free = cam_in_graph & (cam_edges >= 3)  # `object_slam.py:730-731`
+            obj_free = jnp.zeros_like(obj_in_graph)
+        else:
+            cam_free = cam_in_graph
+            if fix_first_cam:
+                # fix the first active camera as the gauge
+                first = jnp.argmax(cam_in_graph)
+                cam_free = cam_free & (jnp.arange(V) != first)
+            obj_free = obj_in_graph
+        return cam_free, obj_free
+
+    def robust_cost(chi2, inl, use_huber):
+        # Huber-composed chi2 like g2o: rho(s) = s if s<=d^2 else 2 d sqrt(s) - d^2
+        s = chi2
+        hub = jnp.where(s <= huber_d**2, s, 2.0 * huber_d * jnp.sqrt(jnp.maximum(s, 1e-30)) - huber_d**2)
+        c = jnp.where(use_huber, hub, s)
+        return jnp.sum(jnp.where(inl, c, 0.0))
+
+    def lm_iteration(state, use_huber):
+        cam_T, obj_T, inl, lam = state
+        r, chi2, z, J_cam, J_obj = _edge_terms(
+            cam_T, obj_T, problem.uv, problem.info, problem.model_kp, problem.cam_k
+        )
+        cam_free, obj_free = vertex_masks(inl)
+        w_edge = inl.astype(dtype)
+        # Huber IRLS factor: w = 1 if chi2 <= d^2 else d / sqrt(chi2)
+        w_h = jnp.where(
+            chi2 <= huber_d**2, 1.0, huber_d / jnp.sqrt(jnp.maximum(chi2, 1e-30))
+        )
+        w = w_edge * jnp.where(use_huber, w_h, 1.0)
+        Wi = problem.info * w[..., None, None]  # [V,O,K,2,2]
+
+        JW_cam = jnp.einsum("vokai,vokab->vokbi", J_cam, Wi)  # W J_cam -> [V,O,K,2,6]
+        JW_obj = jnp.einsum("vokai,vokab->vokbi", J_obj, Wi)
+        Hcc = jnp.einsum("vokai,vokaj->vij", JW_cam, J_cam)   # [V,6,6]
+        Hoo = jnp.einsum("vokai,vokaj->oij", JW_obj, J_obj)   # [O,6,6]
+        Hco = jnp.einsum("vokai,vokaj->voij", JW_cam, J_obj)  # [V,O,6,6]
+        # gradient of 0.5 r^T W r wrt states; residual jac is J so g = J^T W r
+        gc = jnp.einsum("vokai,voka->vi", JW_cam, r)
+        go = jnp.einsum("vokai,voka->oi", JW_obj, r)
+
+        D = 6 * (V + O)
+        H = jnp.zeros((D, D), dtype)
+        # vectorized block placement
+        H = H.at[: 6 * V, : 6 * V].set(
+            jnp.einsum("vij,vw->viwj", Hcc, jnp.eye(V, dtype=dtype)).reshape(6 * V, 6 * V)
+        )
+        H = H.at[6 * V :, 6 * V :].set(
+            jnp.einsum("oij,op->oipj", Hoo, jnp.eye(O, dtype=dtype)).reshape(6 * O, 6 * O)
+        )
+        Hco_flat = jnp.transpose(Hco, (0, 2, 1, 3)).reshape(6 * V, 6 * O)
+        H = H.at[: 6 * V, 6 * V :].set(Hco_flat)
+        H = H.at[6 * V :, : 6 * V].set(Hco_flat.T)
+        g = jnp.concatenate([gc.reshape(-1), go.reshape(-1)])
+
+        free6 = jnp.concatenate(
+            [jnp.repeat(cam_free.astype(dtype), 6), jnp.repeat(obj_free.astype(dtype), 6)]
+        )
+        # LM damping on the (preconditioned) diagonal
+        H_damped = H + lam * jnp.diag(jnp.maximum(jnp.diagonal(H), 1e-9))
+        delta, ok = _solve_normal_eq(H_damped, g, free6)
+        d_cam = delta[: 6 * V].reshape(V, 6)
+        d_obj = delta[6 * V :].reshape(O, 6)
+        cam_T_new = _reorthonormalize(lie.se3_exp(d_cam) @ cam_T)
+        obj_T_new = _reorthonormalize(lie.se3_exp(d_obj) @ obj_T)
+
+        cost_old = robust_cost(chi2, inl, use_huber)
+        _, chi2_new, _, _, _ = _edge_terms(
+            cam_T_new, obj_T_new, problem.uv, problem.info, problem.model_kp, problem.cam_k
+        )
+        cost_new = robust_cost(chi2_new, inl, use_huber)
+        accept = ok & (cost_new < cost_old) & jnp.all(jnp.isfinite(cam_T_new)) & jnp.all(jnp.isfinite(obj_T_new))
+        cam_T = jnp.where(accept, cam_T_new, cam_T)
+        obj_T = jnp.where(accept, obj_T_new, obj_T)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        lam = jnp.clip(lam, 1e-10, 1e6)
+        return (cam_T, obj_T, inl, lam)
+
+    def reclassify(cam_T, obj_T, _valid=valid):
+        _, chi2, _, _, _ = _edge_terms(
+            cam_T, obj_T, problem.uv, problem.info, problem.model_kp, problem.cam_k
+        )
+        return _valid & (chi2 <= chi2_thresh), chi2
+
+    cam_T, obj_T, inl = problem.cam_T, problem.obj_T, inliers0
+    lam = jnp.asarray(1e-5, dtype)
+    n_rounds = len(iters_per_round)
+    half = max(1, n_rounds // 2)
+    for rnd in range(n_rounds):
+        use_huber = rnd <= half  # kernel dropped after round len//2 (`:894-896`)
+        num_good = jnp.sum(inl)
+        enough = num_good >= 4  # `object_slam.py:869`
+
+        def run_round(args):
+            cam_T, obj_T, inl, lam = args
+            state = (cam_T, obj_T, inl, lam)
+            state = jax.lax.fori_loop(
+                0, iters_per_round[rnd], lambda _, s: lm_iteration(s, use_huber), state
+            )
+            cam_T, obj_T, inl, lam = state
+            inl_new, _ = reclassify(cam_T, obj_T)
+            return cam_T, obj_T, inl_new, lam
+
+        cam_T, obj_T, inl, lam = jax.lax.cond(
+            enough, run_round, lambda a: a, (cam_T, obj_T, inl, lam)
+        )
+
+    inl_final, chi2_final = reclassify(cam_T, obj_T)
+    return BAResult(
+        cam_T=cam_T,
+        obj_T=obj_T,
+        inliers=inl_final,
+        num_inliers=jnp.sum(inl_final),
+        total_chi2=jnp.sum(jnp.where(inl_final, chi2_final, 0.0)),
+    )
+
+
+def residual_fn(cam_T, obj_T, uv, info, model_kp, cam_k):
+    """Plain residual tensor (for FD Jacobian tests)."""
+    r, _, _, _, _ = _edge_terms(cam_T, obj_T, uv, info, model_kp, cam_k)
+    return r
+
+
+def edge_jacobians(cam_T, obj_T, uv, info, model_kp, cam_k):
+    """Analytic (J_cam, J_obj) for tests against jax.jacfwd."""
+    _, _, _, J_cam, J_obj = _edge_terms(cam_T, obj_T, uv, info, model_kp, cam_k)
+    return J_cam, J_obj
