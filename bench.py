@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Headline benchmark: PkpNet keypoint-inference throughput (object crops/sec).
+
+Runs the flagship full-size network (nStack=2, nFeats=256, 256x256 input,
+41 keypoint channels, soft-argmax + covariance readout — the per-frame hot
+loop of the SLAM engine, reference `lib/object_slam.py:1077-1167`) on the
+real device and prints ONE JSON line.
+
+Baseline for `vs_baseline`: the driver north star of 5000 crops/sec/chip
+(BASELINE.json "north_star"; the reference repo publishes no numbers).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_CROPS_PER_SEC = 5000.0
+BATCH = 64
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    from suo_slam_tpu.models import PkpNet
+
+    net = PkpNet(dtype=jnp.bfloat16)
+    n, h, w = BATCH, 256, 256
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (n, h, w, 3), jnp.float32)
+    prior = jnp.zeros((n, h, w, 41), jnp.float32)
+    variables = jax.jit(net.init)(jax.random.PRNGKey(1), x[:1])
+
+    @jax.jit
+    def forward(x, prior):
+        out = net.apply(variables, x, prior)
+        return out.uv, out.cov, out.kp_mask
+
+    for _ in range(WARMUP):
+        jax.block_until_ready(forward(x, prior))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        jax.block_until_ready(forward(x, prior))
+    dt = (time.perf_counter() - t0) / ITERS
+    crops_per_sec = n / dt
+
+    print(json.dumps({
+        "metric": "pkpnet_inference_throughput",
+        "value": round(crops_per_sec, 1),
+        "unit": "crops/sec/chip",
+        "vs_baseline": round(crops_per_sec / BASELINE_CROPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

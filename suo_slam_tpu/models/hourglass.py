@@ -1,0 +1,165 @@
+"""Stacked-hourglass backbone in Flax (NHWC, bf16-capable).
+
+Same macro-architecture as the reference (`lib/models/hg.py`,
+`lib/models/layers/Residual.py`): a stride-2 7x7 stem + maxpool (so a 256x256
+input yields 64x64 heatmaps), pre-activation bottleneck residual blocks, a
+depth-4 recursive hourglass repeated nStack times with intermediate heatmap
+supervision and re-injection (`hg.py:104-117`).
+
+TPU-first deviations (deliberate, documented):
+- NHWC layout and optional bfloat16 compute dtype (params stay f32).
+- Normalization defaults to GroupNorm instead of BatchNorm2d: the pipeline
+  feeds *padded* variable-count object batches, where batch statistics would
+  mix real and padded rows, and data-parallel training would need cross-chip
+  stat syncing. GroupNorm is batch-independent, mask-safe, and sync-free.
+  `norm="batch"` is available for strict-parity experiments.
+- Nearest-neighbor x2 upsampling implemented as a reshape-broadcast (XLA
+  fuses it; `F.interpolate(scale_factor=2)` default mode is nearest too).
+- All nStack intermediate heatmaps are returned (the reference computes but
+  discards all except the last, `hg.py:119`); callers take `[-1]` and may add
+  auxiliary supervision on the rest.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def upsample2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbor 2x spatial upsampling, NHWC."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+class Norm(nn.Module):
+    """GroupNorm (default) or BatchNorm, computed in f32."""
+
+    kind: str = "group"
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        if self.kind == "group":
+            g = min(self.groups, x.shape[-1])
+            while x.shape[-1] % g:
+                g -= 1
+            y = nn.GroupNorm(num_groups=g, dtype=jnp.float32)(x32)
+        elif self.kind == "batch":
+            y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x32)
+        else:
+            raise ValueError(f"Unknown norm kind {self.kind!r}")
+        return y.astype(dtype)
+
+
+class Residual(nn.Module):
+    """Pre-activation bottleneck residual block (`Residual.py:3-35`).
+
+    norm-relu -> 1x1 (c/2) -> norm-relu -> 3x3 (c/2) -> norm-relu -> 1x1 (c),
+    with a 1x1 projection skip when channel counts differ.
+    """
+
+    features: int
+    norm: str = "group"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        mid = self.features // 2
+        y = Norm(self.norm)(x, train)
+        y = nn.relu(y)
+        y = nn.Conv(mid, (1, 1), dtype=self.dtype)(y)
+        y = Norm(self.norm)(y, train)
+        y = nn.relu(y)
+        y = nn.Conv(mid, (3, 3), padding=1, dtype=self.dtype)(y)
+        y = Norm(self.norm)(y, train)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (1, 1), dtype=self.dtype)(y)
+        if x.shape[-1] != self.features:
+            x = nn.Conv(self.features, (1, 1), dtype=self.dtype)(x)
+        return x + y
+
+
+class Hourglass(nn.Module):
+    """Recursive hourglass of depth `n` (`hg.py:6-58`)."""
+
+    n: int
+    n_modules: int
+    features: int
+    norm: str = "group"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        up1 = x
+        for _ in range(self.n_modules):
+            up1 = Residual(self.features, self.norm, self.dtype)(up1, train)
+        low = nn.max_pool(x, (2, 2), strides=(2, 2))
+        for _ in range(self.n_modules):
+            low = Residual(self.features, self.norm, self.dtype)(low, train)
+        if self.n > 1:
+            low = Hourglass(self.n - 1, self.n_modules, self.features, self.norm, self.dtype)(
+                low, train
+            )
+        else:
+            for _ in range(self.n_modules):
+                low = Residual(self.features, self.norm, self.dtype)(low, train)
+        for _ in range(self.n_modules):
+            low = Residual(self.features, self.norm, self.dtype)(low, train)
+        return up1 + upsample2x(low)
+
+
+class HourglassNet(nn.Module):
+    """Stacked hourglass with intermediate supervision (`hg.py:60-119`)."""
+
+    in_features: int = 3 + 41
+    num_output: int = 41
+    n_stack: int = 2
+    n_modules: int = 2
+    features: int = 256
+    depth: int = 4
+    norm: str = "group"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> Sequence[jax.Array]:
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, dtype=self.dtype)(x)
+        x = Norm(self.norm)(x, train)
+        x = nn.relu(x)
+        x = Residual(128, self.norm, self.dtype)(x, train)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = Residual(128, self.norm, self.dtype)(x, train)
+        x = Residual(self.features, self.norm, self.dtype)(x, train)
+
+        outs = []
+        for i in range(self.n_stack):
+            hg = Hourglass(self.depth, self.n_modules, self.features, self.norm, self.dtype)(
+                x, train
+            )
+            ll = hg
+            for _ in range(self.n_modules):
+                ll = Residual(self.features, self.norm, self.dtype)(ll, train)
+            ll = nn.Conv(self.features, (1, 1), dtype=self.dtype)(ll)
+            ll = Norm(self.norm)(ll, train)
+            ll = nn.relu(ll)
+            # Heatmap logits head in f32 for a stable softmax readout.
+            tmp_out = nn.Conv(self.num_output, (1, 1), dtype=jnp.float32)(
+                ll.astype(jnp.float32)
+            )
+            outs.append(tmp_out)
+            if i < self.n_stack - 1:
+                ll_ = nn.Conv(self.features, (1, 1), dtype=self.dtype)(ll)
+                tmp_out_ = nn.Conv(self.features, (1, 1), dtype=self.dtype)(
+                    tmp_out.astype(self.dtype)
+                )
+                x = x + ll_ + tmp_out_
+        return outs

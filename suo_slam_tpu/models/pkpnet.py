@@ -1,0 +1,95 @@
+"""PkpNet: probabilistic keypoint network (uv + 2x2 covariance + validity).
+
+TPU-native rebuild of the reference `lib/models/pkpnet.py:65-119`. Inputs are
+a *dense padded* ROI batch (the `ops.roi.roi_crop_batch` front-end replaces
+`torchvision.ops.roi_align`, and `ops.heatmap.render_prior_heatmaps` replaces
+the host-side prior rasterization), so the network itself is a pure
+static-shape function ideal for jit/pjit:
+
+    images_roi: [N, 256, 256, 3]   (already cropped+resized, NHWC)
+    prior_kp:   [N, 256, 256, 41]  (on-device rendered Gaussians; zeros = none)
+    -> uv [N, 41, 2] NDC, cov [N, 41, 2, 2], kp_mask [N, 41] sigmoid prob,
+       plus the raw heatmap logits/probs of the final stack.
+
+The keypoint-validity classifier matches the reference head: mean-pooled
+heatmap logits -> ReLU -> Dropout(0.5) -> Dense(41->41)
+(`pkpnet.py:74-78,116-118`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..kp import config as kp_config
+from ..ops import heatmap as hm
+from .hourglass import HourglassNet
+
+Dtype = Any
+
+
+class PkpNetOutput(NamedTuple):
+    uv: jax.Array               # [N, K, 2] expected NDC keypoint location
+    cov: jax.Array | None       # [N, K, 2, 2] heatmap covariance (None if off)
+    prob: jax.Array             # [N, H/4, W/4, K] softmaxed heatmaps
+    prob_logits: jax.Array      # [N, H/4, W/4, K] raw final-stack logits
+    kp_mask_logits: jax.Array   # [N, K]
+    kp_mask: jax.Array          # [N, K] sigmoid validity probability
+    aux_logits: tuple[jax.Array, ...] = ()  # earlier stacks (aux supervision)
+
+
+class PkpNet(nn.Module):
+    """Stacked-hourglass keypoint network with covariance readout."""
+
+    num_kp: int = kp_config.num_kp()
+    calc_cov: bool = True
+    n_stack: int = 2
+    n_modules: int = 2
+    features: int = 256
+    norm: str = "group"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        images_roi: jax.Array,
+        prior_kp: jax.Array | None = None,
+        train: bool = False,
+    ) -> PkpNetOutput:
+        n, h, w, c = images_roi.shape
+        assert c == 3, f"expected RGB ROI batch, got {images_roi.shape}"
+        if prior_kp is None:
+            prior_kp = jnp.zeros((n, h, w, self.num_kp), images_roi.dtype)
+        x = jnp.concatenate([images_roi, prior_kp.astype(images_roi.dtype)], axis=-1)
+
+        outs = HourglassNet(
+            in_features=3 + self.num_kp,
+            num_output=self.num_kp,
+            n_stack=self.n_stack,
+            n_modules=self.n_modules,
+            features=self.features,
+            norm=self.norm,
+            dtype=self.dtype,
+        )(x, train)
+        raw = outs[-1]  # [N, h/4, w/4, K] f32
+
+        prob = hm.spatial_softmax(raw)
+        uv, cov = hm.soft_argmax(prob, calc_cov=self.calc_cov)
+
+        pooled = jnp.mean(raw, axis=(1, 2))  # [N, K]
+        y = nn.relu(pooled)
+        y = nn.Dropout(0.5, deterministic=not train)(y)
+        mask_logits = nn.Dense(self.num_kp, dtype=jnp.float32)(y)
+
+        return PkpNetOutput(
+            uv=uv,
+            cov=cov,
+            prob=prob,
+            prob_logits=raw,
+            kp_mask_logits=mask_logits,
+            kp_mask=jax.nn.sigmoid(mask_logits),
+            aux_logits=tuple(outs[:-1]),
+        )

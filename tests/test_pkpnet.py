@@ -1,0 +1,107 @@
+"""PkpNet / hourglass shape, dtype, and loss-gradient smoke tests (tiny net)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from suo_slam_tpu.models import PkpNet
+from suo_slam_tpu.models.hourglass import HourglassNet, upsample2x
+from suo_slam_tpu.train import losses
+
+TINY = dict(n_stack=2, n_modules=1, features=32)
+
+
+def test_upsample2x():
+    x = jnp.arange(4.0).reshape(1, 2, 2, 1)
+    y = upsample2x(x)
+    assert y.shape == (1, 4, 4, 1)
+    np.testing.assert_allclose(np.asarray(y[0, :2, :2, 0]), 0.0)
+    np.testing.assert_allclose(np.asarray(y[0, 2:, 2:, 0]), 3.0)
+
+
+def test_hourglass_net_output_resolution():
+    net = HourglassNet(in_features=3, num_output=5, n_stack=2, n_modules=1, features=32)
+    x = jnp.zeros((2, 64, 64, 3))
+    params = net.init(jax.random.PRNGKey(0), x)
+    outs = net.apply(params, x)
+    assert len(outs) == 2
+    for o in outs:
+        assert o.shape == (2, 16, 16, 5)  # input/4 like the reference
+
+
+def test_pkpnet_forward_shapes_and_prob():
+    net = PkpNet(**TINY)
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(params, x)
+    k = 41
+    assert out.uv.shape == (2, k, 2)
+    assert out.cov.shape == (2, k, 2, 2)
+    assert out.prob.shape == (2, 16, 16, k)
+    assert out.kp_mask.shape == (2, k)
+    np.testing.assert_allclose(np.asarray(jnp.sum(out.prob, axis=(1, 2))), 1.0, atol=1e-5)
+    # cov is symmetric PSD-ish (diagonal floored)
+    assert np.all(np.asarray(out.cov[..., 0, 0]) > 0)
+    np.testing.assert_allclose(
+        np.asarray(out.cov[..., 0, 1]), np.asarray(out.cov[..., 1, 0]), atol=1e-7
+    )
+
+
+def test_pkpnet_with_prior_channel_changes_output():
+    net = PkpNet(**TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    params = net.init(jax.random.PRNGKey(0), x)
+    out0 = net.apply(params, x)
+    prior = jnp.zeros((1, 64, 64, 41)).at[:, 20:30, 20:30, 0].set(1.0)
+    out1 = net.apply(params, x, prior)
+    assert not np.allclose(np.asarray(out0.uv), np.asarray(out1.uv))
+
+
+def test_pkpnet_bf16_compute_f32_readout():
+    net = PkpNet(dtype=jnp.bfloat16, **TINY)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(params, x)
+    assert out.uv.dtype == jnp.float32
+    assert out.cov.dtype == jnp.float32
+    # params stored in f32
+    leaf = jax.tree_util.tree_leaves(params)[0]
+    assert leaf.dtype == jnp.float32
+
+
+def test_loss_gradients_flow():
+    net = PkpNet(**TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 64, 3))
+    params = net.init(jax.random.PRNGKey(0), x)
+    uv_gt = jax.random.uniform(jax.random.PRNGKey(3), (2, 41, 2), minval=-1, maxval=1)
+    mask = jnp.ones((2, 41), bool).at[1, 20:].set(False)
+
+    def loss_fn(p):
+        out = net.apply(p, x)
+        loss, aux = losses.total_loss(
+            out.uv, out.cov, out.prob, out.kp_mask_logits, uv_gt, mask, epoch=20
+        )
+        return loss
+
+    val, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(val))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+    total = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
+    assert total > 0
+
+
+def test_mle_loss_matches_direct_computation():
+    key = jax.random.PRNGKey(4)
+    uv = jax.random.normal(key, (3, 5, 2), jnp.float64)
+    uv_gt = uv + 0.1 * jax.random.normal(jax.random.PRNGKey(5), (3, 5, 2), jnp.float64)
+    A = jax.random.normal(jax.random.PRNGKey(6), (3, 5, 2, 2), jnp.float64) * 0.3
+    cov = A @ jnp.swapaxes(A, -1, -2) + 0.05 * jnp.eye(2)
+    mask = jnp.ones((3, 5), bool)
+    maha, logdet = losses.mle_loss(uv, uv_gt, cov, mask)
+    cov_l = cov + 1e-6 * jnp.eye(2)
+    res = (uv_gt - uv)[..., None]
+    maha_ref = jnp.mean(jnp.swapaxes(res, -1, -2) @ jnp.linalg.inv(cov_l) @ res)
+    logdet_ref = jnp.mean(jnp.log(jnp.linalg.det(cov_l)))
+    np.testing.assert_allclose(float(maha), float(maha_ref), rtol=1e-8)
+    np.testing.assert_allclose(float(logdet), float(logdet_ref), rtol=1e-8)
