@@ -1,0 +1,233 @@
+"""Jitted device kernels for the SLAM front-end.
+
+These replace the per-frame hot paths of the reference engine with batched
+on-device programs:
+
+- `frame_inference`: ROI crop + prior render + PkpNet forward + keypoint
+  filtering for every object in a frame in ONE jitted call (reference:
+  `lib/object_slam.py:1077-1115` — roi_align, host prior rasterization,
+  torch forward, numpy filtering).
+- `pnp_frame`: batched uncertainty-gated PnP with the depth sanity gate
+  (reference: per-object `pnp()` python loop + lambdatwist C++,
+  `lib/object_slam.py:1140-1151`).
+- `camera_pose_ransac`: all object-pose hypotheses scored against all
+  keypoints in one [H, O, K] tensor program (reference: triple python loop,
+  `lib/object_slam.py:1030-1068`).
+- `reinit_counts`: chi2 inlier counts of PnP-vs-estimated object poses over
+  the last N views (reference: `lib/object_slam.py:640-686`).
+
+All kernels are static-shape over padded buffers with validity masks and are
+cached per capacity bucket.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from ..solvers import pnp as pnp_mod
+from ..solvers.ba import CHI2_THRESH_2DOF
+
+COV_DIAG_FLOOR = 1e-4  # reference floors cov diag at 1e-4 (`object_slam.py:669,1054`)
+
+
+def info_from_cov(cov: jax.Array) -> jax.Array:
+    """2x2 information = inverse covariance with floored diagonal.
+
+    Closed-form inverse; the floor matches the reference's RANSAC/reinit paths
+    (`object_slam.py:1053-1055`). Applied uniformly (the reference BA inverts
+    the raw covariance, `:826-827` — same result away from the floor).
+    """
+    a = jnp.maximum(cov[..., 0, 0], COV_DIAG_FLOOR)
+    d = jnp.maximum(cov[..., 1, 1], COV_DIAG_FLOOR)
+    b = cov[..., 0, 1]
+    det = jnp.maximum(a * d - b * b, 1e-12)
+    inv = jnp.stack(
+        [jnp.stack([d, -b], -1), jnp.stack([-b, a], -1)], axis=-2
+    ) / det[..., None, None]
+    return inv
+
+
+def manual_info(shape, manual_kp_std: jax.Array | float, dtype=jnp.float32) -> jax.Array:
+    """Isotropic information I / sigma^2 for the no-network-cov path.
+
+    NOTE (deliberate deviation): the reference BA uses the identity
+    information in no-cov mode (`object_slam.py:825-828`), which makes the
+    5.991 chi2 gate vacuous in NDC units; its RANSAC/reinit paths use
+    1/manual_kp_std^2 (`:1060-1062`). We use 1/manual_kp_std^2 everywhere for
+    consistent gating.
+    """
+    s2 = jnp.asarray(manual_kp_std, dtype) ** 2
+    eye = jnp.eye(2, dtype=dtype) / s2
+    return jnp.broadcast_to(eye, tuple(shape) + (2, 2))
+
+
+def filter_keypoints(
+    uv: jax.Array,
+    cov: jax.Array | None,
+    mask_prob: jax.Array,
+    model_mask: jax.Array,
+    bbox_thresh: float = 0.9,
+    kp_var_thresh: float = 0.2,
+    mask_thresh: float = 0.3,
+) -> jax.Array:
+    """Predicted-keypoint validity filter (`object_slam.py:1102-1115`).
+
+    Keep channels that the validity head accepts (> mask_thresh), that the
+    object has (model_mask), that are away from the ROI border
+    (|uv| < bbox_thresh), and — when covariance is predicted — whose stdevs
+    are both below 2 * kp_var_thresh (fraction of the bbox span 2).
+    """
+    keep = (mask_prob > mask_thresh) & model_mask
+    keep &= (jnp.min(uv, -1) > -bbox_thresh) & (jnp.max(uv, -1) < bbox_thresh)
+    if cov is not None:
+        std = jnp.sqrt(jnp.maximum(cov[..., (0, 1), (0, 1)], 0.0))
+        keep &= jnp.all(std < 2.0 * kp_var_thresh, axis=-1)
+    return keep
+
+
+@partial(jax.jit, static_argnames=("n_hyp",))
+def pnp_frame(
+    model_kps: jax.Array,   # [O, K, 3]
+    uv: jax.Array,          # [O, K, 2] NDC predictions
+    kp_mask: jax.Array,     # [O, K] filtered validity
+    cam_k4: jax.Array,      # [O, 4] NDC-fixed (fx, fy, cx, cy)
+    diameters: jax.Array,   # [O]
+    key: jax.Array,
+    n_hyp: int = 64,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched per-object PnP with the reference acceptance gates.
+
+    Returns (T_OtoC [O, 4, 4], success [O]). A pose is accepted when PnP
+    succeeds with >= 4 inliers and t_z > 0.5 * diameter
+    (`object_slam.py:1145-1151`). Failed slots hold identity.
+    """
+    y_norm = (uv - cam_k4[:, None, 2:]) / cam_k4[:, None, :2]
+    res = pnp_mod.pnp_ransac_batch(model_kps, y_norm, kp_mask, key, n_hyp=n_hyp)
+    ok = res.success & (res.num_inliers >= 4) & (res.T[:, 2, 3] > 0.5 * diameters)
+    T = jnp.where(ok[:, None, None], res.T, jnp.eye(4, dtype=res.T.dtype))
+    return T, ok
+
+
+def _chi2_counts(T_OtoC, model_kp, uv, info, mask, cam_k4, chi2_thresh):
+    """Masked chi2 inlier count for [..., O, K] measurement sets.
+
+    T_OtoC: [..., O, 4, 4]; model_kp/uv/info/mask/cam_k4 broadcast over the
+    leading dims. Points behind the camera never count (`z > 0` gate,
+    `object_slam.py:1042-1044`).
+    """
+    p = (
+        jnp.einsum("...oij,okj->...oki", T_OtoC[..., :3, :3], model_kp)
+        + T_OtoC[..., None, :3, 3]
+    )
+    z = p[..., 2]
+    iz = 1.0 / jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    u = cam_k4[..., 0:1] * p[..., 0] * iz + cam_k4[..., 2:3]
+    v = cam_k4[..., 1:2] * p[..., 1] * iz + cam_k4[..., 3:4]
+    r = uv - jnp.stack([u, v], -1)
+    chi2 = jnp.einsum("...i,...ij,...j->...", r, info, r)
+    good = (chi2 <= chi2_thresh) & (z > 0) & mask
+    return jnp.sum(good, axis=(-2, -1))
+
+
+@jax.jit
+def camera_pose_ransac(
+    T_pnp: jax.Array,       # [O, 4, 4] current-frame PnP object poses
+    pnp_ok: jax.Array,      # [O]
+    T_obj: jax.Array,       # [O, 4, 4] estimated T_OtoG
+    obj_ok: jax.Array,      # [O] object has a map estimate
+    model_kp: jax.Array,    # [O, K, 3]
+    uv: jax.Array,          # [O, K, 2] current detections
+    info: jax.Array,        # [O, K, 2, 2]
+    inliers: jax.Array,     # [O, K] current inlier classification
+    cam_k4: jax.Array,      # [O, 4]
+    min_num_inliers: int = 4,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """RANSAC over per-object camera-pose hypotheses
+    (`object_slam.py:975-1072`).
+
+    Hypothesis h_j: T_GtoC = T_pnp[j] @ inv(T_obj[j]). Every hypothesis is
+    scored against every object's inlier keypoints via covariance-weighted
+    chi2 — one [O_hyp, O, K] tensor contraction instead of the reference's
+    triple loop. Objects whose current detection has zero inliers don't score
+    (`:1037`).
+
+    Returns (T_GtoC [4, 4], num_inliers, ok).
+    """
+    cand = pnp_ok & obj_ok
+    T_hyp = T_pnp @ lie.invert_SE3(T_obj)  # [O, 4, 4]
+    T_OtoC_hyp = T_hyp[:, None] @ T_obj[None, :]  # [H=O, O, 4, 4]
+    score_mask = inliers & (jnp.any(inliers, -1) & cand)[:, None]
+    counts = _chi2_counts(
+        T_OtoC_hyp, model_kp, uv[None], info[None], score_mask[None],
+        cam_k4[None], CHI2_THRESH_2DOF,
+    )  # [H]
+    counts = jnp.where(cand, counts, -1)
+    best = jnp.argmax(counts)
+    best_count = counts[best]
+    ok = best_count >= min_num_inliers
+    T_best = jnp.where(ok, T_hyp[best], jnp.eye(4, dtype=T_hyp.dtype))
+    return T_best, best_count, ok
+
+
+@jax.jit
+def reinit_counts(
+    T_pnp_OtoG: jax.Array,  # [O, 4, 4] world-frame pose from current PnP
+    T_est_OtoG: jax.Array,  # [O, 4, 4] current map estimate
+    cam_T: jax.Array,       # [N, 4, 4] poses of the views to check
+    cam_valid: jax.Array,   # [N]
+    model_kp: jax.Array,    # [O, K, 3]
+    uv: jax.Array,          # [N, O, K, 2] detections in those views
+    info: jax.Array,        # [N, O, K, 2, 2]
+    valid: jax.Array,       # [N, O, K] detected-kp masks (NOT inlier-gated,
+                            #           matching `object_slam.py:655-686`)
+    cam_k4: jax.Array,      # [N, O, 4]
+) -> tuple[jax.Array, jax.Array]:
+    """chi2 inlier counts over the last N views for PnP vs estimated poses.
+
+    Returns (count_pnp [O], count_est [O]).
+    """
+    mask = valid & cam_valid[:, None, None]
+
+    # per-object counts: sum over views and keypoints, keep the O axis
+    def counts_obj(T_OtoG):
+        T_OtoC = cam_T[:, None] @ T_OtoG[None]
+        p = (
+            jnp.einsum("noij,okj->noki", T_OtoC[..., :3, :3], model_kp)
+            + T_OtoC[:, :, None, :3, 3]
+        )
+        z = p[..., 2]
+        iz = 1.0 / jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+        u = cam_k4[..., 0:1] * p[..., 0] * iz + cam_k4[..., 2:3]
+        v = cam_k4[..., 1:2] * p[..., 1] * iz + cam_k4[..., 3:4]
+        r = uv - jnp.stack([u, v], -1)
+        chi2 = jnp.einsum("noki,nokij,nokj->nok", r, info, r)
+        good = (chi2 <= CHI2_THRESH_2DOF) & (z > 0) & mask
+        return jnp.sum(good, axis=(0, 2))  # [O]
+
+    return counts_obj(T_pnp_OtoG), counts_obj(T_est_OtoG)
+
+
+def make_frame_inference(net, params, input_hw=(256, 256)):
+    """Build the jitted fused per-frame network call.
+
+    Returns fn(img [H, W, 3], boxes [O, 4], obj_valid [O], prior_uv [O, K, 2],
+    prior_valid [O, K]) -> (uv [O, K, 2], cov [O, K, 2, 2] | None,
+    mask_prob [O, K]).
+    """
+    from ..ops import heatmap as hm
+    from ..ops import roi as roi_ops
+
+    @jax.jit
+    def fn(img, boxes, obj_valid, prior_uv, prior_valid):
+        crops = roi_ops.roi_crop_batch(
+            img[None], boxes[None], obj_valid[None], input_hw
+        )[0]
+        prior = hm.render_prior_heatmaps(prior_uv, prior_valid, hw=input_hw)
+        out = net.apply({"params": params}, crops, prior)
+        return out.uv, out.cov, out.kp_mask
+
+    return fn

@@ -1,0 +1,215 @@
+"""SLAM engine integration tests with GT keypoints (debug_gt_kp mode).
+
+Mirrors the reference's oracle-input testing strategy (`--debug_gt_kp`,
+`lib/args.py:130-135`) and the g2o synthetic demo
+(`thirdparty/g2opy/python/examples/object_slam_demo.py`): a synthetic
+multi-object multi-view scene drives the full engine — PnP init, camera
+RANSAC, tracking BA, global BA — and we check pose recovery.
+"""
+
+import numpy as np
+import pytest
+
+from suo_slam_tpu.kp import config as kp_config
+from suo_slam_tpu.slam import ObjectSlam, SlamConfig
+
+NK = kp_config.num_kp()
+RNG = np.random.default_rng(7)
+
+
+class StubMeshDb:
+    def __init__(self, n_obj, diameter=100.0, symmetric=()):
+        self.diameter = np.full((n_obj,), diameter, np.float32)
+        self.is_symmetric = np.zeros((n_obj,), bool)
+        for o in symmetric:
+            self.is_symmetric[o - 1] = True
+
+
+def _euler_R(rx, ry, rz):
+    from suo_slam_tpu.data.bop import _euler2R_np
+
+    return _euler2R_np(np.rad2deg([rx, ry, rz]))
+
+
+def make_scene(n_obj=4, n_views=8, n_kp=12, seed=0):
+    """Objects in the world (= first camera) frame, orbiting camera."""
+    rng = np.random.default_rng(seed)
+    K = np.array([[300.0, 0, 160.0], [0, 300.0, 120.0], [0, 0, 1.0]])
+    hw = (240, 320)
+    kp = {}
+    T_obj = {}
+    for j in range(n_obj):
+        obj_id = j + 1
+        pts = rng.uniform(-40, 40, (n_kp, 3))
+        kp[obj_id] = pts
+        T = np.eye(4)
+        T[:3, :3] = _euler_R(*rng.uniform(-0.5, 0.5, 3))
+        T[:3, 3] = [(-120 + 80 * j), rng.uniform(-40, 40), 600 + 50 * j]
+        T_obj[obj_id] = T
+    cams = []
+    for i in range(n_views):
+        ang = 0.06 * i
+        T = np.eye(4)
+        T[:3, :3] = _euler_R(0.02 * i, ang, 0)
+        T[:3, 3] = [-40 * np.sin(ang), 6.0 * i, 80 * (1 - np.cos(ang))]
+        cams.append(T)
+    return K, hw, kp, T_obj, cams
+
+
+def project_frame(K, hw, kp, T_obj, T_GtoC, pad=8.0):
+    """GT detections for one frame: bboxes, NDC kps, channel masks."""
+    obj_ids, bboxes, model_kps, model_masks, kp_masks, uv_gts = [], [], [], [], [], []
+    for obj_id, pts in kp.items():
+        T_OtoC = T_GtoC @ T_obj[obj_id]
+        p_cam = pts @ T_OtoC[:3, :3].T + T_OtoC[:3, 3]
+        if np.any(p_cam[:, 2] < 1.0):
+            continue
+        uvw = p_cam @ K.T
+        uv = uvw[:, :2] / uvw[:, 2:3]
+        x1, y1 = uv.min(0) - pad
+        x2, y2 = uv.max(0) + pad
+        if x2 < 0 or y2 < 0 or x1 > hw[1] or y1 > hw[0]:
+            continue
+        n = pts.shape[0]
+        mk = np.zeros((NK, 3), np.float32)
+        mm = np.zeros((NK,), bool)
+        ug = np.zeros((NK, 2), np.float32)
+        mk[:n] = pts
+        mm[:n] = True
+        w, h = x2 - x1, y2 - y1
+        ug[:n] = np.stack(
+            [2 * (uv[:, 0] - x1) / w - 1, 1 - 2 * (uv[:, 1] - y1) / h], -1
+        )
+        obj_ids.append(obj_id)
+        bboxes.append([x1, y1, x2, y2])
+        model_kps.append(mk)
+        model_masks.append(mm)
+        kp_masks.append(mm.copy())
+        uv_gts.append(ug)
+    return (
+        np.asarray(obj_ids),
+        np.asarray(bboxes, np.float32),
+        np.stack(model_kps),
+        np.stack(model_masks),
+        np.stack(kp_masks),
+        np.stack(uv_gts),
+    )
+
+
+def rot_err_deg(Ra, Rb):
+    c = (np.trace(Ra.T @ Rb) - 1) / 2
+    return np.rad2deg(np.arccos(np.clip(c, -1, 1)))
+
+
+def _make_engine(**kw):
+    kw.setdefault("debug_gt_kp", True)
+    kw.setdefault("manual_kp_std", 0.01)
+    kw.setdefault("gt_kp_noise_std", 0.005)
+    kw.setdefault("view_capacity", 16)
+    kw.setdefault("obj_capacity", 8)
+    cfg = SlamConfig(**kw)
+    return ObjectSlam(cfg, mesh_db=StubMeshDb(8))
+
+
+IMG = np.zeros((240, 320, 3), np.float32)
+
+
+def run_scene(engine, n_views=8, cam_pose=None, seed=0, n_obj=4):
+    K, hw, kp, T_obj, cams = make_scene(n_obj=n_obj, n_views=n_views, seed=seed)
+    for i, T_GtoC in enumerate(cams):
+        obj_ids, bboxes, mks, mms, kms, uvs = project_frame(K, hw, kp, T_obj, T_GtoC)
+        engine.process_view(
+            i, IMG, K, obj_ids, bboxes, mks, mms, kms, uv_gt=uvs,
+            cam_pose=T_GtoC if cam_pose else None,
+        )
+    return K, kp, T_obj, cams
+
+
+def test_single_view_pose_recovery():
+    engine = _make_engine(single_view_mode=True)
+    K, hw, kp, T_obj, cams = make_scene(n_views=1)
+    obj_ids, bboxes, mks, mms, kms, uvs = project_frame(K, hw, kp, T_obj, cams[0])
+    engine.process_view(0, IMG, K, obj_ids, bboxes, mks, mms, kms, uv_gt=uvs)
+    res = engine.collect_results()
+    assert 0 in res
+    for obj_id in obj_ids:
+        T = res[0]["poses"][int(obj_id)]["T_OtoC"]
+        assert T is not None
+        T_gt = cams[0] @ T_obj[int(obj_id)]
+        assert rot_err_deg(T[:3, :3], T_gt[:3, :3]) < 2.0
+        assert np.linalg.norm(T[:3, 3] - T_gt[:3, 3]) < 12.0  # mm
+
+
+def test_full_slam_trajectory_and_objects():
+    engine = _make_engine()
+    K, kp, T_obj, cams = run_scene(engine, n_views=8)
+    res = engine.collect_results(final=True)
+    assert len(res) == 8
+    for i, T_GtoC_gt in enumerate(cams):
+        # camera pose is anchored at view 0 = I (same as GT world def)
+        est = engine.cam_T[engine.view_slot[i]]
+        assert rot_err_deg(est[:3, :3], T_GtoC_gt[:3, :3]) < 2.0, f"view {i}"
+        assert np.linalg.norm(est[:3, 3] - T_GtoC_gt[:3, 3]) < 15.0, f"view {i}"
+        for obj_id in kp:
+            T = res[i]["poses"].get(obj_id, {}).get("T_OtoC")
+            if T is None:
+                continue
+            T_gt = T_GtoC_gt @ T_obj[obj_id]
+            assert rot_err_deg(T[:3, :3], T_gt[:3, :3]) < 2.0
+            assert np.linalg.norm(T[:3, 3] - T_gt[:3, 3]) < 12.0
+
+
+def test_slam_with_outlier_measurements():
+    """Corrupt some keypoints badly; chi2 gating must keep poses accurate."""
+    engine = _make_engine()
+    K, hw, kp, T_obj, cams = make_scene(n_views=6, seed=3)
+    rng = np.random.default_rng(1)
+    for i, T_GtoC in enumerate(cams):
+        obj_ids, bboxes, mks, mms, kms, uvs = project_frame(K, hw, kp, T_obj, T_GtoC)
+        if i > 0:  # leave the init view clean
+            for j in range(uvs.shape[0]):
+                sel = np.where(kms[j])[0]
+                bad = rng.choice(sel, size=max(1, len(sel) // 6), replace=False)
+                uvs[j, bad] += rng.uniform(0.2, 0.5, (len(bad), 2)) * rng.choice([-1, 1], (len(bad), 2))
+        engine.process_view(i, IMG, K, obj_ids, bboxes, mks, mms, kms, uv_gt=uvs)
+    res = engine.collect_results(final=True)
+    for i, T_GtoC_gt in enumerate(cams):
+        for obj_id in kp:
+            T = res[i]["poses"].get(obj_id, {}).get("T_OtoC")
+            if T is None:
+                continue
+            T_gt = T_GtoC_gt @ T_obj[obj_id]
+            assert rot_err_deg(T[:3, :3], T_gt[:3, :3]) < 3.0
+            assert np.linalg.norm(T[:3, 3] - T_gt[:3, 3]) < 15.0
+    # outliers were actually rejected somewhere
+    assert engine.inliers.sum() < engine.valid.sum()
+
+
+def test_gt_cam_pose_mode():
+    """External camera poses (--gt_cam_pose): all objects get prior path."""
+    engine = _make_engine()
+    K, kp, T_obj, cams = run_scene(engine, n_views=5, cam_pose=True)
+    res = engine.collect_results(final=True)
+    for i, T_GtoC_gt in enumerate(cams):
+        est = engine.cam_T[engine.view_slot[i]]
+        # provided poses should not drift far after BA
+        assert np.linalg.norm(est[:3, 3] - T_GtoC_gt[:3, 3]) < 10.0
+
+
+def test_capacity_growth():
+    engine = _make_engine(view_capacity=4, obj_capacity=4)
+    run_scene(engine, n_views=8)
+    assert engine.V >= 8
+    assert len(engine.view_ids) == 8
+    res = engine.collect_results(final=True)
+    assert len(res) == 8
+
+
+def test_reset_clears_state():
+    engine = _make_engine()
+    run_scene(engine, n_views=3)
+    engine.reset()
+    assert engine.num_views_processed() == 0
+    assert not engine.obj_active.any()
+    run_scene(engine, n_views=3)
+    assert engine.num_views_processed() == 3
