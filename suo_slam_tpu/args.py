@@ -1,0 +1,82 @@
+"""CLI argument surface, mirroring the reference (`lib/args.py`).
+
+Same two modes (train / eval), same flag names and defaults, same
+`data_root = ./data/bop_datasets/<dataset>` convention, plus TPU-specific
+additions (`--bf16`, `--norm`). The per-username default table is dropped —
+env-var overrides (SUO_BATCH_SIZE etc.) replace it.
+"""
+
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+from sys import argv
+
+
+def _env_int(name, default):
+    return int(os.environ.get(name, default))
+
+
+def get_args(mode="train", argv_override=None):
+    assert mode in ("train", "eval")
+    parser = ArgumentParser(
+        description=("Evaluate" if mode == "eval" else "Train") + " PkpNet (TPU)"
+    )
+    probe = argv_override if argv_override is not None else argv
+    is_tless = "tless" in probe
+
+    default_ckpt = None if mode == "train" else "results/latest/model_best"
+    parser.add_argument("--checkpoint_path", "-c", default=default_ckpt,
+                        help="Checkpoint to load (resume for train, run for eval).")
+    parser.add_argument("--dataset", "-d", default="ycbv", choices=["ycbv", "tless"])
+    parser.add_argument("--no_network_cov", "-u", action="store_true",
+                        help="Ignore predicted covariance (and skip MLE loss in training).")
+    parser.add_argument("--show_viz", action="store_true")
+    det_choices = ["gt", "gt+noise"] + ([] if mode == "train" else ["saved"])
+    parser.add_argument("--detection_type", "-t",
+                        default="gt+noise" if mode == "train" else "saved",
+                        choices=det_choices)
+    parser.add_argument("--bf16", action="store_true", default=True,
+                        help="bfloat16 compute in the backbone (TPU default).")
+    parser.add_argument("--no_bf16", dest="bf16", action="store_false")
+    parser.add_argument("--norm", default="group", choices=["group", "batch"],
+                        help="Backbone normalization (GroupNorm is the TPU default).")
+
+    default_split = "primesense" if is_tless else "real+synt"
+    if mode == "train":
+        parser.add_argument("--workers", "-j", type=int, default=_env_int("SUO_WORKERS", 4))
+        parser.add_argument("--batch_size", "-b", type=int,
+                            default=_env_int("SUO_BATCH_SIZE", 16 if is_tless else 2))
+        parser.add_argument("--epochs", type=int, default=1000 if is_tless else 30)
+        parser.add_argument("--lr", type=float, default=1e-3)
+        parser.add_argument("--ext", default="")
+        parser.add_argument("--no_resume", action="store_true")
+        parser.add_argument("--pretrain", default=None)
+        parser.add_argument("--data_split", default=default_split,
+                            help='"+"-separated: real, synt, pbr (or primesense).')
+        parser.add_argument("--truncate_obj", type=int,
+                            default=_env_int("SUO_TRUNCATE_OBJ", 16))
+        parser.add_argument("--mask_occluded", action="store_true")
+        parser.add_argument("--no_augmentations", action="store_true")
+        parser.add_argument("--steps_per_epoch", type=int, default=0,
+                            help="Cap steps per epoch (0 = full dataset); for smoke runs.")
+    else:
+        parser.add_argument("--nviews", type=int, default=-1,
+                            help="1 = single-view PnP, N>1 = SfM per frame, -1 = full SLAM.")
+        parser.add_argument("--no_viz", action="store_true")
+        parser.add_argument("--viz_cov", action="store_true")
+        parser.add_argument("--do_viz_extra", action="store_true")
+        parser.add_argument("--no_prior_det", "-p", action="store_true")
+        parser.add_argument("--debug_gt_kp", action="store_true")
+        parser.add_argument("--gt_cam_pose", action="store_true")
+        parser.add_argument("--debug_saved_only", action="store_true")
+        parser.add_argument("--give_all_prior", action="store_true")
+
+    parser.add_argument("--data_root", default=None,
+                        help="Override BOP dataset root (default ./data/bop_datasets/<dataset>).")
+    parser.add_argument("--kp_config_root", default=None,
+                        help="Override kp_configs dir (default repo kp_configs/).")
+    args = parser.parse_args(argv_override)
+    if args.data_root is None:
+        args.data_root = os.path.join(os.getcwd(), "data/bop_datasets", args.dataset)
+    return args

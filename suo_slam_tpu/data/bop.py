@@ -439,6 +439,14 @@ class BopDataset:
         }
 
 
+def _to44_cam(T):
+    """Promote a [3, 4] (or [4, 4]) pose to 4x4."""
+    out = np.eye(4)
+    T = np.asarray(T)
+    out[: T.shape[0], :] = T
+    return out
+
+
 def _fix_K_for_bbox_ndc_np(K, bbox):
     x1, y1, x2, y2 = bbox
     w, h = x2 - x1, y2 - y1

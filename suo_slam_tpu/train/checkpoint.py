@@ -1,0 +1,110 @@
+"""Checkpoint save/load with the reference's directory contract.
+
+Mirrors `train.py:166-181,201-227,349-355`: results dirs named
+`results/pkpnet_<dataset>_<split>_<ext>_<MM-DD-YYYY@HH-MM-SS>/` holding
+`checkpoint-<epoch>` + `checkpoint-latest` + `model_best` files with
+`{args, epoch, model, best_val, optimizer}` — here serialized with flax
+msgpack instead of torch pickle, and args as a JSON sidecar inside the
+payload for provenance.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def output_dir_name(dataset: str, split: str, ext: str = "") -> str:
+    stamp = time.strftime("%m-%d-%Y@%H-%M-%S")
+    parts = ["pkpnet", dataset, split.replace("+", "-")]
+    if ext:
+        parts.append(ext)
+    return "_".join(parts) + "_" + stamp
+
+
+def find_resume_dir(results_root: str, dataset: str, split: str, ext: str = "") -> str | None:
+    """Newest matching results dir (timestamp-sorted), like `train.py:201-227`."""
+    if not os.path.isdir(results_root):
+        return None
+    prefix = "_".join(["pkpnet", dataset, split.replace("+", "-")] + ([ext] if ext else []))
+    pat = re.compile(re.escape(prefix) + r"_(\d{2}-\d{2}-\d{4}@\d{2}-\d{2}-\d{2})$")
+    best, best_t = None, None
+    for name in os.listdir(results_root):
+        m = pat.match(name)
+        if not m:
+            continue
+        t = time.strptime(m.group(1), "%m-%d-%Y@%H-%M-%S")
+        if (best_t is None or t > best_t) and os.path.exists(
+            os.path.join(results_root, name, "checkpoint-latest")
+        ):
+            best, best_t = os.path.join(results_root, name), t
+    return best
+
+
+def save_checkpoint(outdir: str, state, epoch: int, args: dict, best_val: float,
+                    is_best: bool = False):
+    """state: train.harness.TrainState (params + opt_state + step + rng)."""
+    payload = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": np.asarray(state.step),
+        "rng": np.asarray(state.rng),
+        "epoch": np.asarray(epoch),
+        "best_val": np.asarray(best_val, np.float64),
+        "args_json": json.dumps(args),
+    }
+    data = serialization.to_bytes(payload)
+    os.makedirs(outdir, exist_ok=True)
+    for name in [f"checkpoint-{epoch}", "checkpoint-latest"] + (
+        ["model_best"] if is_best else []
+    ):
+        tmp = os.path.join(outdir, name + ".tmp")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, os.path.join(outdir, name))
+
+
+def load_checkpoint(path: str, state_template):
+    """Returns (TrainState, epoch, args_dict, best_val).
+
+    state_template: a TrainState with the right pytree structure/shapes
+    (from `harness.init_state`).
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    template = {
+        "params": state_template.params,
+        "opt_state": state_template.opt_state,
+        "step": np.asarray(state_template.step),
+        "rng": np.asarray(state_template.rng),
+        "epoch": np.asarray(0),
+        "best_val": np.asarray(0.0, np.float64),
+        "args_json": "",
+    }
+    payload = serialization.from_bytes(template, data)
+    state = state_template._replace(
+        params=payload["params"],
+        opt_state=payload["opt_state"],
+        step=jax.numpy.asarray(payload["step"]),
+        rng=jax.numpy.asarray(payload["rng"]),
+    )
+    args = json.loads(payload["args_json"]) if payload["args_json"] else {}
+    return state, int(payload["epoch"]), args, float(payload["best_val"])
+
+
+def load_params_only(path: str, params_template):
+    """For eval / --pretrain: just the network params."""
+    with open(path, "rb") as f:
+        data = f.read()
+    # tolerant partial restore: parse full dict, take params subtree
+    payload = serialization.msgpack_restore(data)
+    params = serialization.from_state_dict(params_template, payload["params"])
+    epoch = int(np.asarray(payload.get("epoch", -1)))
+    args = json.loads(payload.get("args_json", "") or "{}")
+    return params, epoch, args

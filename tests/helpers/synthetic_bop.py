@@ -210,22 +210,22 @@ def write_synthetic_bop(
             for sub in ("rgb", "depth", "mask_visib"):
                 os.makedirs(os.path.join(scene_dir, sub), exist_ok=True)
             scene_camera, scene_gt, scene_gt_info = {}, {}, {}
-            # camera orbit around the object cluster
+            # STATIC world: fixed object poses in the world frame, camera on a
+            # small orbit — a rigid scene as SLAM assumes.
+            obj_ids = list(OBJ_HALF_EXTENTS.keys())
+            T_obj_world = []
+            for j, obj_id in enumerate(obj_ids):
+                T = np.eye(4)
+                T[:3, :3] = _euler_R(*rng.uniform(-0.5, 0.5, 3))
+                T[:3, 3] = [-100.0 + 95.0 * j, rng.uniform(-35, 35), 620.0 + 60.0 * j]
+                T_obj_world.append(T)
             for view_id in range(n_views):
-                obj_ids = list(OBJ_HALF_EXTENTS.keys())
-                poses = []
-                ang = 2.0 * np.pi * view_id / max(8, n_views)
-                for j, obj_id in enumerate(obj_ids):
-                    R = _euler_R(*rng.uniform(-0.4, 0.4, 3)) @ _euler_R(0, ang, 0)
-                    t = np.array(
-                        [(-90.0 + 90.0 * j) * np.cos(ang) + rng.uniform(-6, 6),
-                         rng.uniform(-30, 30),
-                         620.0 + 70.0 * j + 25.0 * np.sin(ang)]
-                    )
-                    T = np.eye(4)
-                    T[:3, :3] = R
-                    T[:3, 3] = t
-                    poses.append(T)
+                ang = 0.08 * view_id
+                T_WtoC = np.eye(4)
+                T_WtoC[:3, :3] = _euler_R(0.02 * view_id, ang, 0.01 * view_id)
+                T_WtoC[:3, 3] = [-50.0 * np.sin(ang), 5.0 * view_id,
+                                 60.0 * (1 - np.cos(ang))]
+                poses = [T_WtoC @ T for T in T_obj_world]
                 img, depth = render_frame(K, poses, obj_ids, hw)
                 cv2.imwrite(os.path.join(scene_dir, "rgb", f"{view_id:06d}.png"), img)
                 cv2.imwrite(
@@ -235,6 +235,8 @@ def write_synthetic_bop(
                 scene_camera[str(view_id)] = {
                     "cam_K": K.reshape(-1).tolist(),
                     "depth_scale": 1.0,
+                    "cam_R_w2c": T_WtoC[:3, :3].reshape(-1).tolist(),
+                    "cam_t_w2c": T_WtoC[:3, 3].tolist(),
                 }
                 gt_list, info_list = [], []
                 for j, obj_id in enumerate(obj_ids):

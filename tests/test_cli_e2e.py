@@ -1,0 +1,116 @@
+"""End-to-end CLI tests: train a tiny run and evaluate on the synthetic BOP
+fixture, exercising the full reference surface (train.py / evaluate.py)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.helpers.synthetic_bop import write_synthetic_bop
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="session")
+def bop_layout(tmp_path_factory):
+    """BOP-style layout: <root>/bop_datasets/ycbv/... like the reference."""
+    root = tmp_path_factory.mktemp("bop_layout")
+    ds_root = root / "bop_datasets" / "ycbv"
+    write_synthetic_bop(str(ds_root), n_scenes=1, n_views=4)
+    # evaluate expects models_bop-compat_eval for ycbv; symlink to models dir
+    os.symlink(
+        ds_root / "models_bop-compat", ds_root / "models_bop-compat_eval",
+        target_is_directory=True,
+    )
+    return str(ds_root)
+
+
+def _run(cmd, cwd, extra_env=None):
+    env = os.environ.copy()
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = REPO
+    if extra_env:
+        env.update(extra_env)
+    res = subprocess.run(
+        cmd, cwd=cwd, env=env, capture_output=True, text=True, timeout=900
+    )
+    assert res.returncode == 0, f"cmd failed:\n{res.stdout[-4000:]}\n{res.stderr[-4000:]}"
+    return res
+
+
+def test_evaluate_single_view_gt_kp(bop_layout, tmp_path):
+    """evaluate.py --nviews 1 --debug_gt_kp on the fixture: near-perfect AUC."""
+    cmd = [
+        sys.executable, os.path.join(REPO, "evaluate.py"),
+        "--nviews", "1", "--debug_gt_kp", "--dataset", "ycbv",
+        "--data_root", bop_layout,
+        "--kp_config_root", os.path.join(bop_layout, "kp_configs"),
+        "--checkpoint_path", "",
+    ]
+    res = _run(cmd, cwd=str(tmp_path))
+    out = res.stdout
+    assert "AUC of ADD(-S)" in out
+    # summary.txt written in the method outdir
+    outdirs = [
+        d for d in (tmp_path / "results").iterdir() if d.is_dir()
+    ] if (tmp_path / "results").exists() else []
+    summary_files = list((tmp_path).rglob("summary.txt"))
+    assert summary_files, out
+    txt = summary_files[0].read_text()
+    assert "AUC" in txt
+    csvs = list(tmp_path.rglob("pkpnet-*.csv"))
+    assert csvs
+    # BOP'19 row: scene_id,im_id,obj_id,score,R(9 space-sep),t(3 space-sep),time
+    lines = csvs[0].read_text().strip().splitlines()
+    assert lines and len(lines[0].split(",")) == 7
+    assert len(lines[0].split(",")[4].split()) == 9
+    assert len(lines[0].split(",")[5].split()) == 3
+    # Mean AUC should be high with GT keypoints
+    import re
+
+    m = re.search(r"AUC of ADD\(-S\): ([\d.]+)", out)
+    assert m and float(m.group(1)) > 80.0, out
+
+
+def test_evaluate_slam_mode_gt_kp(bop_layout, tmp_path):
+    cmd = [
+        sys.executable, os.path.join(REPO, "evaluate.py"),
+        "--nviews", "-1", "--debug_gt_kp", "--dataset", "ycbv",
+        "--data_root", bop_layout,
+        "--kp_config_root", os.path.join(bop_layout, "kp_configs"),
+        "--checkpoint_path", "",
+    ]
+    res = _run(cmd, cwd=str(tmp_path))
+    out = res.stdout
+    assert "% of camera poses found" in out
+    import re
+
+    m = re.search(r"AUC of ADD\(-S\): ([\d.]+)", out)
+    assert m and float(m.group(1)) > 80.0, out
+    m = re.search(r"NOTE: ([\d.]+)% of camera poses found", out)
+    assert m and float(m.group(1)) == 100.0, out
+
+
+def test_train_smoke_and_resume(bop_layout, tmp_path):
+    """2-epoch tiny training run, then auto-resume for 1 more epoch."""
+    cmd = [
+        sys.executable, os.path.join(REPO, "train.py"),
+        "--dataset", "ycbv", "--data_root", bop_layout,
+        "--kp_config_root", os.path.join(bop_layout, "kp_configs"),
+        "--data_split", "synt", "--batch_size", "2", "--truncate_obj", "3",
+        "--epochs", "2", "--steps_per_epoch", "2", "--no_bf16",
+    ]
+    env = {"SUO_TINY_NET": "1"}
+    res = _run(cmd, cwd=str(tmp_path), extra_env=env)
+    assert "Epoch 1 done" in res.stdout
+    ckpts = list(tmp_path.rglob("checkpoint-latest"))
+    assert ckpts
+    # resume picks up from epoch 2
+    cmd[cmd.index("--epochs") + 1] = "3"
+    res2 = _run(cmd, cwd=str(tmp_path), extra_env=env)
+    assert "Auto-resuming" in res2.stdout
+    assert "Epoch 2 done" in res2.stdout and "Epoch 1 done" not in res2.stdout

@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""Training CLI for PkpNet on BOP datasets.
+
+TPU-native rebuild of the reference `train.py`: same CLI surface and results
+directory contract (auto-resume from the newest matching
+`results/pkpnet_<dataset>_<split>_<ext>_<timestamp>` dir, `checkpoint-<N>` /
+`checkpoint-latest` / `model_best` files, `params.txt` dump, annealed
+MLE + variance + BCE losses), with the torch DataLoader + DataParallel
+replaced by a host prefetch loop feeding a pjit-sharded train step over a
+data-parallel device mesh (`suo_slam_tpu/train/harness.py`).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_datasets(args):
+    from suo_slam_tpu.data.bop import BopDataset
+
+    splits = []
+    for part in args.data_split.split("+"):
+        split = f"train_{part}" if not part.startswith("train") else part
+        splits.append(split)
+    datasets = [
+        BopDataset(
+            args.data_root, split, bop_dset=args.dataset, map_by="view",
+            mask_occluded=args.mask_occluded, no_aug=args.no_augmentations,
+            det_type=args.detection_type, kp_config_root=args.kp_config_root,
+            seed=123 + i,
+        )
+        for i, split in enumerate(splits)
+    ]
+    return datasets
+
+
+class ConcatLoader:
+    """Minimal shuffling batch loader over concatenated datasets.
+
+    Replaces torch DataLoader (`train.py:319-325`); single-process for now —
+    the host side is not the bottleneck for the TPU step.
+    """
+
+    def __init__(self, datasets, batch_size, truncate_obj, seed=0):
+        self.datasets = datasets
+        self.lengths = [len(d) for d in datasets]
+        self.total = sum(self.lengths)
+        self.batch_size = batch_size
+        self.truncate_obj = truncate_obj
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return max(1, self.total // self.batch_size)
+
+    def sample(self, i):
+        for d, n in zip(self.datasets, self.lengths):
+            if i < n:
+                return d[i]
+            i -= n
+        raise IndexError
+
+    def epoch(self, shuffle=True):
+        from suo_slam_tpu.data.bop import collate
+
+        order = np.arange(self.total)
+        if shuffle:
+            self.rng.shuffle(order)
+        for b in range(len(self)):
+            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+            samples = [self.sample(int(i)) for i in idx]
+            yield collate(samples, truncate_obj=self.truncate_obj,
+                          seed=int(self.rng.integers(2**31)))
+
+
+def to_device_batch(np_batch, o_pad=None):
+    import jax.numpy as jnp
+
+    from suo_slam_tpu.train.harness import Batch
+
+    def pad_obj(a):
+        if o_pad is None or a.shape[1] == o_pad:
+            return a
+        out = np.zeros((a.shape[0], o_pad) + a.shape[2:], a.dtype)
+        out[:, : a.shape[1]] = a[:, :o_pad]
+        return out
+
+    return Batch(
+        images=jnp.asarray(np_batch["images"]),
+        boxes=jnp.asarray(pad_obj(np_batch["boxes"])),
+        obj_mask=jnp.asarray(pad_obj(np_batch["obj_mask"])),
+        prior_uv=jnp.asarray(pad_obj(np_batch["prior_uv"])),
+        prior_mask=jnp.asarray(pad_obj(np_batch["prior_mask"])),
+        uv_gt=jnp.asarray(pad_obj(np_batch["uv_gt"])),
+        kp_mask=jnp.asarray(pad_obj(np_batch["kp_mask"])),
+    )
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from suo_slam_tpu.args import get_args
+    from suo_slam_tpu.models import PkpNet
+    from suo_slam_tpu.train import checkpoint as ckpt
+    from suo_slam_tpu.train import harness
+
+    args = get_args("train")
+    print("======= Train Args ================")
+    for k, v in sorted(vars(args).items()):
+        print(f"{k}: {v}")
+    print("===================================")
+
+    tiny = bool(int(os.environ.get("SUO_TINY_NET", "0")))  # smoke tests
+    net = PkpNet(
+        calc_cov=not args.no_network_cov, norm=args.norm,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        **(dict(n_stack=1, n_modules=1, features=16) if tiny else {}),
+    )
+    optimizer = harness.make_optimizer(args.lr)
+    state = harness.init_state(net, jax.random.PRNGKey(0), optimizer)
+
+    results_root = os.path.join(os.getcwd(), "results")
+    start_epoch = 0
+    best_val = float("inf")
+    outdir = None
+    split_tag = args.data_split
+    if not args.no_resume and args.checkpoint_path is None:
+        resume_dir = ckpt.find_resume_dir(results_root, args.dataset, split_tag, args.ext)
+        if resume_dir is not None:
+            path = os.path.join(resume_dir, "checkpoint-latest")
+            print(f"Auto-resuming from {path}")
+            state, start_epoch, _, best_val = ckpt.load_checkpoint(path, state)
+            start_epoch += 1
+            outdir = resume_dir
+    if args.checkpoint_path:
+        print(f"Resuming from {args.checkpoint_path}")
+        state, start_epoch, _, best_val = ckpt.load_checkpoint(args.checkpoint_path, state)
+        start_epoch += 1
+        outdir = os.path.dirname(args.checkpoint_path)
+    if args.pretrain:
+        from suo_slam_tpu.train.checkpoint import load_params_only
+
+        params, _, _ = load_params_only(args.pretrain, state.params)
+        state = state._replace(params=params)
+    if outdir is None:
+        outdir = os.path.join(
+            results_root, ckpt.output_dir_name(args.dataset, split_tag, args.ext)
+        )
+        os.makedirs(outdir, exist_ok=True)
+    print(f"Writing results to {outdir}")
+    with open(os.path.join(outdir, "params.txt"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+
+    datasets = build_datasets(args)
+    loader = ConcatLoader(datasets, args.batch_size, args.truncate_obj)
+    print(f"Training on {loader.total} frames, {len(loader)} steps/epoch")
+
+    mesh = harness.data_parallel_mesh()
+    n_dev = len(mesh.devices.reshape(-1))
+    step_fn = (
+        harness.make_sharded_train_step(net, optimizer, mesh)
+        if n_dev > 1 and args.batch_size % n_dev == 0
+        else jax.jit(harness.make_train_step(net, optimizer), donate_argnums=(0,))
+    )
+
+    args_dict = vars(args).copy()
+    for epoch in range(start_epoch, args.epochs):
+        t_epoch = time.time()
+        t0 = time.time()
+        avg_loss, n_steps = 0.0, 0
+        for i, np_batch in enumerate(loader.epoch()):
+            if args.steps_per_epoch and i >= args.steps_per_epoch:
+                break
+            batch = to_device_batch(np_batch, o_pad=args.truncate_obj)
+            state, metrics = step_fn(state, batch, jnp.asarray(float(epoch)))
+            if (i + 1) % 10 == 0 or i == 0:
+                loss = float(metrics["loss"])
+                avg_loss += loss
+                n_steps += 1
+                print(
+                    f"Epoch: {epoch} [{i + 1}/{len(loader)}] "
+                    f"loss_tot={loss:.3f} uv_loss={float(metrics['uv_loss']):.3f} "
+                    f"var_loss=({float(metrics['var_lambda']):.3f},"
+                    f"{float(metrics['var_loss']):.3f}) "
+                    f"mask_loss=({float(metrics['mask_lambda']):.3f},"
+                    f"{float(metrics['mask_loss']):.3f}) "
+                    f"sec/it={(time.time() - t0) / (i + 1):.2f}",
+                    flush=True,
+                )
+        val = avg_loss / max(1, n_steps)
+        is_best = val < best_val
+        best_val = min(best_val, val)
+        ckpt.save_checkpoint(outdir, state, epoch, args_dict, best_val, is_best=is_best)
+        print(
+            f"Epoch {epoch} done in {time.time() - t_epoch:.1f}s, "
+            f"avg loss {val:.4f}{' (best)' if is_best else ''}"
+        )
+
+
+if __name__ == "__main__":
+    main()
