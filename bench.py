@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_CROPS_PER_SEC = 5000.0
-BATCH = 64
+BATCH = 256
 WARMUP = 3
 ITERS = 10
 
@@ -29,19 +29,22 @@ def main():
     n, h, w = BATCH, 256, 256
     rng = jax.random.PRNGKey(0)
     x = jax.random.uniform(rng, (n, h, w, 3), jnp.float32)
-    prior = jnp.zeros((n, h, w, 41), jnp.float32)
+    ph, pw = net.prior_hw((h, w))
+    prior = jnp.zeros((n, ph, pw, 41), jnp.float32)
     variables = jax.jit(net.init)(jax.random.PRNGKey(1), x[:1])
 
     @jax.jit
-    def forward(x, prior):
+    def forward(variables, x, prior):
         out = net.apply(variables, x, prior)
-        return out.uv, out.cov, out.kp_mask
+        # fold outputs into one scalar: forces full execution through the
+        # device tunnel (block_until_ready alone can under-measure)
+        return jnp.sum(out.uv) + jnp.sum(out.cov) + jnp.sum(out.kp_mask)
 
     for _ in range(WARMUP):
-        jax.block_until_ready(forward(x, prior))
+        float(forward(variables, x, prior))
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        jax.block_until_ready(forward(x, prior))
+        float(forward(variables, x, prior))
     dt = (time.perf_counter() - t0) / ITERS
     crops_per_sec = n / dt
 

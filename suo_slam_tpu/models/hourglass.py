@@ -130,7 +130,12 @@ class HourglassNet(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> Sequence[jax.Array]:
+    def __call__(
+        self, x: jax.Array, train: bool = False, extra: jax.Array | None = None
+    ) -> Sequence[jax.Array]:
+        """`extra`: optional [N, H/4, W/4, C_e] low-resolution conditioning
+        input injected after the stem via a 1x1 projection (the TPU-first home
+        of the prior-keypoint channels — see `models/pkpnet.py`)."""
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, dtype=self.dtype)(x)
         x = Norm(self.norm)(x, train)
@@ -139,6 +144,10 @@ class HourglassNet(nn.Module):
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = Residual(128, self.norm, self.dtype)(x, train)
         x = Residual(self.features, self.norm, self.dtype)(x, train)
+        if extra is not None:
+            x = x + nn.Conv(self.features, (1, 1), dtype=self.dtype)(
+                extra.astype(self.dtype)
+            )
 
         outs = []
         for i in range(self.n_stack):

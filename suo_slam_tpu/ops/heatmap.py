@@ -31,6 +31,13 @@ import jax.numpy as jnp
 # cv2.GaussianBlur(ksize=2*ceil(3*15)+1=91, sigma=0) whose derived sigma is
 # 0.3*((91-1)*0.5 - 1) + 0.8 = 14.0 pixels (`lib/utils/utils.py:364-368`).
 PRIOR_SIGMA_PX = 14.0
+PRIOR_SIGMA_REF_H = 256  # sigma above is defined at this map height
+
+
+def prior_sigma_for(hw: tuple[int, int]) -> float:
+    """Scale the reference prior sigma to another map resolution (the prior
+    is a fixed fraction ~5.5% of the ROI span)."""
+    return PRIOR_SIGMA_PX * hw[0] / PRIOR_SIGMA_REF_H
 
 
 def ndc_grid(h: int, w: int, dtype=jnp.float32) -> tuple[jax.Array, jax.Array]:

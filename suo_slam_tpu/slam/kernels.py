@@ -221,12 +221,16 @@ def make_frame_inference(net, params, input_hw=(256, 256)):
     from ..ops import heatmap as hm
     from ..ops import roi as roi_ops
 
+    phw = net.prior_hw(input_hw)
+
     @jax.jit
     def fn(img, boxes, obj_valid, prior_uv, prior_valid):
         crops = roi_ops.roi_crop_batch(
             img[None], boxes[None], obj_valid[None], input_hw
         )[0]
-        prior = hm.render_prior_heatmaps(prior_uv, prior_valid, hw=input_hw)
+        prior = hm.render_prior_heatmaps(
+            prior_uv, prior_valid, hw=phw, sigma_px=hm.prior_sigma_for(phw)
+        )
         out = net.apply({"params": params}, crops, prior)
         return out.uv, out.cov, out.kp_mask
 

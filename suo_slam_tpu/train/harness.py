@@ -80,10 +80,12 @@ def _forward_loss(net, params, batch: Batch, epoch, dropout_rng, train: bool,
     b, o = batch.boxes.shape[:2]
     crops = roi_ops.roi_crop_batch(batch.images, batch.boxes, batch.obj_mask, input_hw)
     crops = crops.reshape((b * o,) + crops.shape[2:])
+    phw = net.prior_hw(input_hw)
     prior = hm.render_prior_heatmaps(
         batch.prior_uv.reshape(b * o, -1, 2),
         batch.prior_mask.reshape(b * o, -1),
-        hw=input_hw,
+        hw=phw,
+        sigma_px=hm.prior_sigma_for(phw),
     )
     out = net.apply(
         {"params": params},

@@ -52,7 +52,18 @@ def test_pkpnet_with_prior_channel_changes_output():
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
     params = net.init(jax.random.PRNGKey(0), x)
     out0 = net.apply(params, x)
+    ph, pw = net.prior_hw((64, 64))
+    prior = jnp.zeros((1, ph, pw, 41)).at[:, 5:8, 5:8, 0].set(1.0)
+    out1 = net.apply(params, x, prior)
+    assert not np.allclose(np.asarray(out0.uv), np.asarray(out1.uv))
+
+
+def test_pkpnet_concat_prior_mode_matches_reference_wiring():
+    net = PkpNet(prior_mode="concat", **TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    params = net.init(jax.random.PRNGKey(0), x)
     prior = jnp.zeros((1, 64, 64, 41)).at[:, 20:30, 20:30, 0].set(1.0)
+    out0 = net.apply(params, x)
     out1 = net.apply(params, x, prior)
     assert not np.allclose(np.asarray(out0.uv), np.asarray(out1.uv))
 
