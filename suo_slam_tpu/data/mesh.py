@@ -29,11 +29,17 @@ _PLY_DTYPES = {
 
 
 def load_ply_vertices(path: str) -> np.ndarray:
-    """Read vertex (x, y, z) from an ascii or binary_little_endian PLY.
+    """Read vertex (x, y, z) from an ascii or binary_little_endian PLY."""
+    return load_ply(path)[0]
+
+
+def load_ply(path: str) -> tuple[np.ndarray, np.ndarray | None]:
+    """Read (vertices [V, 3] f32, faces [F, 3] int32 | None) from PLY.
 
     Minimal, robust reader for BOP model files (replaces
     `bop_toolkit_lib.inout.load_ply`, which the reference imports at
-    `lib/utils/mesh_database.py:5`). Faces and extra properties are skipped.
+    `lib/utils/mesh_database.py:5`). Extra vertex properties are skipped;
+    polygon faces are fan-triangulated.
     """
     with open(path, "rb") as f:
         line = f.readline().strip()
@@ -62,6 +68,7 @@ def load_ply_vertices(path: str) -> np.ndarray:
 
         assert fmt in ("ascii", "binary_little_endian"), f"Unsupported PLY format {fmt}"
         verts = None
+        faces = None
         for name, count, props in elements:
             if name == "vertex":
                 idx = {p[0]: j for j, p in enumerate(props)}
@@ -86,6 +93,29 @@ def load_ply_vertices(path: str) -> np.ndarray:
                     verts = np.stack(
                         [arr["x"], arr["y"], arr["z"]], axis=-1
                     ).astype(np.float32)
+            elif name == "face" and any(p[2] for p in props):
+                tris = []
+                if fmt == "ascii":
+                    for _ in range(count):
+                        vals = f.readline().split()
+                        k = int(vals[0])
+                        poly = [int(v) for v in vals[1 : 1 + k]]
+                        for t in range(1, k - 1):  # fan triangulation
+                            tris.append([poly[0], poly[t], poly[t + 1]])
+                else:
+                    for _ in range(count):
+                        for _, type_str, is_list, list_len_type in props:
+                            if is_list:
+                                lcode, lsize = _PLY_DTYPES[list_len_type]
+                                k = struct.unpack("<" + lcode, f.read(lsize))[0]
+                                icode, isize = _PLY_DTYPES[type_str]
+                                poly = struct.unpack("<" + icode * k, f.read(isize * k))
+                                for t in range(1, k - 1):
+                                    tris.append([poly[0], poly[t], poly[t + 1]])
+                            else:
+                                _, isize = _PLY_DTYPES[type_str]
+                                f.read(isize)
+                faces = np.asarray(tris, np.int32) if tris else None
             else:
                 # skip this element's data
                 if fmt == "ascii":
@@ -103,7 +133,7 @@ def load_ply_vertices(path: str) -> np.ndarray:
                                 _, isize = _PLY_DTYPES[type_str]
                                 f.read(isize)
         assert verts is not None, f"No vertex element in {path}"
-        return verts
+        return verts, faces
 
 
 class MeshDb:
@@ -127,6 +157,8 @@ class MeshDb:
         self.has_continuous_sym = np.zeros((n,), bool)
         self.continuous_sym = {}
         self.points = {}
+        self.verts_full = {}
+        self.faces = {}  # obj_id -> [F, 3] int32 triangles or None
         rng = np.random.default_rng(seed)
         for obj_id in self.obj_ids:
             mi = info[str(obj_id)]
@@ -136,7 +168,9 @@ class MeshDb:
             self.is_symmetric[obj_id - 1] = disc or cont
             self.has_continuous_sym[obj_id - 1] = cont
             self.continuous_sym[obj_id] = mi.get("symmetries_continuous", [])
-            pts = load_ply_vertices(os.path.join(model_dir, f"obj_{obj_id:06d}.ply"))
+            pts, faces = load_ply(os.path.join(model_dir, f"obj_{obj_id:06d}.ply"))
+            self.verts_full[obj_id] = pts
+            self.faces[obj_id] = faces
             if max_points is not None and pts.shape[0] > max_points:
                 # Uniform subsample for the ADD metrics (deterministic).
                 sel = rng.choice(pts.shape[0], max_points, replace=False)

@@ -165,10 +165,20 @@ def write_synthetic_bop(
             Tsym[:3, :3] = _euler_R(0, 0, np.pi)
             mi["symmetries_discrete"] = [Tsym.reshape(-1).tolist()]
         models_info[str(obj_id)] = mi
-        # small vertex cloud: corners + face-center samples
+        # small vertex cloud: corners + surface samples; triangulated faces
+        # over the 8 corners so the depth renderer / VSD path has geometry
         extra = rng.uniform(-1, 1, (64, 3)) * np.asarray(he)
+        for ax in range(3):  # project extras onto the surface
+            if ax == 0:
+                extra[0::3, 0] = np.sign(extra[0::3, 0] + 1e-9) * he[0]
+            elif ax == 1:
+                extra[1::3, 1] = np.sign(extra[1::3, 1] + 1e-9) * he[1]
+            else:
+                extra[2::3, 2] = np.sign(extra[2::3, 2] + 1e-9) * he[2]
         pts = np.concatenate([corners, extra])
-        _write_ascii_ply(os.path.join(models_dir, f"obj_{obj_id:06d}.ply"), pts)
+        _write_ascii_ply(
+            os.path.join(models_dir, f"obj_{obj_id:06d}.ply"), pts, CUBOID_TRIS
+        )
     with open(os.path.join(models_dir, "models_info.json"), "w") as f:
         json.dump(models_info, f)
 
@@ -275,11 +285,25 @@ def write_synthetic_bop(
     return root
 
 
-def _write_ascii_ply(path, pts):
+# cuboid faces as triangles over the 8 corners (front z+: 0..3, back z-: 4..7)
+_QUADS = [(0, 1, 2, 3), (5, 4, 7, 6), (4, 5, 1, 0), (3, 2, 6, 7), (1, 5, 6, 2), (4, 0, 3, 7)]
+CUBOID_TRIS = np.asarray(
+    [[a, b, c] for a, b, c, d in _QUADS for a, b, c in [(a, b, c), (a, c, d)]],
+    np.int32,
+)
+
+
+def _write_ascii_ply(path, pts, faces=None):
     with open(path, "w") as f:
         f.write("ply\nformat ascii 1.0\n")
         f.write(f"element vertex {pts.shape[0]}\n")
         f.write("property float x\nproperty float y\nproperty float z\n")
+        if faces is not None:
+            f.write(f"element face {len(faces)}\n")
+            f.write("property list uchar int vertex_indices\n")
         f.write("end_header\n")
         for p in pts:
             f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
+        if faces is not None:
+            for tri in faces:
+                f.write(f"3 {tri[0]} {tri[1]} {tri[2]}\n")
