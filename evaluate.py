@@ -96,6 +96,7 @@ class Evaluator:
         self.detection_type = detection_type
         self.debug_gt_kp = debug_gt_kp
         self.gt_cam_pose = gt_cam_pose
+        self.no_viz = no_viz
         self.give_all_prior = give_all_prior
         self.no_network_cov = no_network_cov
         self.no_prior_det = no_prior_det
@@ -195,6 +196,8 @@ class Evaluator:
                         results[view_id]["poses"] if self.nviews > 0 else None
                     )
                     scene_results.append((view_id, pred_poses, gt_obj_ids))
+                    if not self.no_viz:
+                        self._write_viz(outdir, scene_id, j, view_id, results)
 
                 if self.do_add and self.saved_detections is not None:
                     for gt_obj_id in gt_obj_ids:
@@ -288,6 +291,30 @@ class Evaluator:
                     print("VSD eval not available yet")
         return summary
 
+    def _write_viz(self, outdir, scene_id, j, view_id, results):
+        """3-panel viz image per frame (`evaluate.py:202-229` in the
+        reference)."""
+        import cv2
+
+        from suo_slam_tpu.eval.viz import make_frame_viz
+
+        viz_dir = os.path.join(outdir, "viz_images")
+        os.makedirs(viz_dir, exist_ok=True)
+        eng = self.object_slam
+        view_for_viz = eng.view_ids[-1] if eng.view_ids else view_id
+        dets = eng.get_view_viz_data(view_for_viz)
+        poses = {
+            o: r["T_OtoC"]
+            for o, r in results.get(view_for_viz, {}).get("poses", {}).items()
+        }
+        img = self._last_img
+        viz = make_frame_viz(
+            img, dets, poses, self._last_K, mesh_db=self.mesh_db
+        )
+        cv2.imwrite(
+            os.path.join(viz_dir, f"scene_{scene_id}_{j:06d}.png"), viz[..., ::-1]
+        )
+
     def _run_slam(self, scene_id, views_to_proc):
         if self.nviews > 0:
             self.object_slam.reset()
@@ -305,6 +332,7 @@ class Evaluator:
                     print(f"WARNING no detections for scene {scene_id} view {view_id_k}")
                     continue
             sample = self.dataset.get_raw(scene_id, view_id_k, obj_ids, p_give_prior=0.0)
+            self._last_img, self._last_K = sample["img"], sample["K"]
             if "gt" in self.detection_type:
                 bboxes = sample["bboxes"]
             else:

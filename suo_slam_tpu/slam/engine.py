@@ -717,6 +717,31 @@ class ObjectSlam:
             results[view_id] = {"poses": poses}
         return results
 
+    def get_view_viz_data(self, view_id):
+        """Per-detection data for `eval.viz.make_frame_viz`: obj_id ->
+        {bbox, uv [K,2] NDC, cov [K,2,2] NDC | None, kp_mask [K],
+        prior_uv | None}."""
+        out = {}
+        v = self.view_slot.get(view_id)
+        if v is None:
+            return out
+        for obj_id, det in self.detections.get(view_id, {}).items():
+            s = self.obj_slot[obj_id]
+            info = self.info[v, s]
+            a, b, d = info[:, 0, 0], info[:, 0, 1], info[:, 1, 1]
+            det_i = np.maximum(a * d - b * b, 1e-12)
+            cov = np.stack(
+                [np.stack([d, -b], -1), np.stack([-b, a], -1)], axis=-2
+            ) / det_i[:, None, None]
+            out[obj_id] = {
+                "bbox": det.bbox,
+                "uv": self.uv[v, s],
+                "cov": None if self.cfg.no_network_cov or self.cfg.debug_gt_kp else cov,
+                "kp_mask": self.valid[v, s],
+                "prior_uv": det.prior_uv,
+            }
+        return out
+
     # timing ------------------------------------------------------------------
     def tracking_hz(self):
         return 0.0 if not self.track_times else 1.0 / (

@@ -1,0 +1,147 @@
+"""Keypoint-labeling core: render, back-project clicks, aggregate, save.
+
+Headless rebuild of the reference labeling tool's logic
+(`manual_keypoints.py`): the GUI there renders a 2x4 panel of poses with the
+BOP GL renderer (`:107-120`), back-projects each click through the rendered
+depth into the object frame (`:143-179`), aggregates >= 3 samples per
+keypoint into a mean + 3x3 sample covariance (`kp_stats` `:181-210`), and
+saves `kp_info/obj_XXXXXX_kp_info.json` with
+`{keypoints: {name: {pos_mean[3], pos_cov[9]}}, view_pose[16]}` (`:337-356`).
+
+This module is the GUI-independent core (renders with
+`eval.render.render_depth`, no OpenGL); `manual_keypoints.py` at the repo
+root wraps it in a cv2 window. Keeping the math here makes it testable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from ..eval.render import render_depth
+from ..kp import config as kp_config
+
+
+def canonical_view_poses(diameter: float, n_views: int = 8) -> np.ndarray:
+    """[n, 4, 4] object->camera poses spanning viewpoints (the 2x4 panel)."""
+    dist = 3.0 * diameter
+    poses = []
+    for i in range(n_views):
+        az = 2 * np.pi * i / n_views
+        el = 0.5 if i % 2 == 0 else -0.5
+        ca, sa = np.cos(az), np.sin(az)
+        ce, se = np.cos(el), np.sin(el)
+        # camera looks at the origin from direction (az, el)
+        Rz = np.array([[ca, -sa, 0], [sa, ca, 0], [0, 0, 1.0]])
+        Rx = np.array([[1, 0, 0], [0, ce, -se], [0, se, ce]])
+        T = np.eye(4)
+        T[:3, :3] = Rx @ Rz
+        T[2, 3] = dist
+        poses.append(T)
+    return np.stack(poses)
+
+
+class KeypointLabeler:
+    """Sample-collecting labeler for one object mesh."""
+
+    def __init__(self, verts, faces, K, hw=(240, 320), diameter=None, n_views=8):
+        self.verts = np.asarray(verts, np.float64)
+        self.faces = faces
+        self.K = np.asarray(K, np.float64)
+        self.hw = hw
+        if diameter is None:
+            d = self.verts - self.verts.mean(0)
+            diameter = 2.0 * float(np.linalg.norm(d, axis=1).max())
+        self.view_poses = canonical_view_poses(diameter, n_views)
+        self.depths = [
+            render_depth(self.verts, self.faces, self.K, T, hw)
+            for T in self.view_poses
+        ]
+        self.samples: dict[str, list[np.ndarray]] = {}
+
+    def render_panel(self) -> np.ndarray:
+        """Grayscale depth panel [2, n/2] grid for display."""
+        imgs = []
+        for d in self.depths:
+            m = d[d > 0]
+            if m.size:
+                lo, hi = float(m.min()), float(m.max())
+                g = np.where(d > 0, 255 - 200 * (d - lo) / max(hi - lo, 1e-6), 0)
+            else:
+                g = np.zeros_like(d)
+            imgs.append(g.astype(np.uint8))
+        n = len(imgs)
+        top = np.concatenate(imgs[: n // 2], axis=1)
+        bot = np.concatenate(imgs[n // 2 :], axis=1)
+        return np.concatenate([top, bot], axis=0)
+
+    def backproject(self, view_idx: int, x: float, y: float):
+        """Pixel click -> 3D point in the OBJECT frame, or None off-surface.
+
+        Mirrors `manual_keypoints.py:143-179`: read rendered depth, unproject
+        through K, transform by the inverse view pose.
+        """
+        d = self.depths[view_idx]
+        xi, yi = int(x), int(y)
+        if not (0 <= xi < d.shape[1] and 0 <= yi < d.shape[0]) or d[yi, xi] <= 0:
+            return None
+        z = float(d[yi, xi])
+        # the renderer samples at pixel centers: unproject (xi+0.5, yi+0.5)
+        p_cam = np.linalg.inv(self.K) @ np.array([(xi + 0.5) * z, (yi + 0.5) * z, z])
+        T = self.view_poses[view_idx]
+        return T[:3, :3].T @ (p_cam - T[:3, 3])
+
+    def add_sample(self, kp_name: str, view_idx: int, x: float, y: float) -> bool:
+        assert kp_name in kp_config.KP_INDEX, f"Unknown keypoint {kp_name}"
+        p = self.backproject(view_idx, x, y)
+        if p is None:
+            return False
+        self.samples.setdefault(kp_name, []).append(p)
+        return True
+
+    def kp_stats(self, min_samples: int = 3):
+        """name -> (mean [3], cov [3, 3]) for keypoints with enough samples
+        (`manual_keypoints.py:181-210`)."""
+        out = {}
+        for name, pts in self.samples.items():
+            if len(pts) < min_samples:
+                continue
+            arr = np.stack(pts)
+            mean = arr.mean(0)
+            res = arr - mean
+            cov = (res.T @ res) / max(1, len(pts) - 1)
+            out[name] = (mean, cov)
+        return out
+
+    def save(self, path: str, view_pose: np.ndarray | None = None,
+             min_samples: int = 3):
+        """Write the kp_info JSON (same schema as `manual_keypoints.py:337-356`)."""
+        stats = self.kp_stats(min_samples)
+        assert stats, "No keypoints with enough samples to save"
+        vp = self.view_poses[0] if view_pose is None else view_pose
+        data = {
+            "keypoints": {
+                name: {
+                    "pos_mean": mean.tolist(),
+                    "pos_cov": cov.reshape(-1).tolist(),
+                }
+                for name, (mean, cov) in stats.items()
+            },
+            "view_pose": np.asarray(vp).reshape(-1).tolist(),
+        }
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
+        return data
+
+
+def load_kp_info(path: str):
+    with open(path) as f:
+        data = json.load(f)
+    kps = {
+        n: (np.asarray(v["pos_mean"]), np.asarray(v["pos_cov"]).reshape(3, 3))
+        for n, v in data["keypoints"].items()
+    }
+    return kps, np.asarray(data["view_pose"]).reshape(4, 4)

@@ -74,6 +74,9 @@ def test_evaluate_single_view_gt_kp(bop_layout, tmp_path):
 
     m = re.search(r"AUC of ADD\(-S\): ([\d.]+)", out)
     assert m and float(m.group(1)) > 80.0, out
+    # viz images written (3-panel frame visualizations)
+    viz = list(tmp_path.rglob("viz_images/*.png"))
+    assert viz, out
 
 
 def test_evaluate_slam_mode_gt_kp(bop_layout, tmp_path):

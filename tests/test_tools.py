@@ -1,0 +1,152 @@
+"""Tests for the labeling core, viz drawing, and tool CLIs (offscreen)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.helpers.synthetic_bop import (
+    CUBOID_TRIS,
+    OBJ_HALF_EXTENTS,
+    cuboid_corners,
+    write_synthetic_bop,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+K = np.array([[420.0, 0, 160.0], [0, 420.0, 120.0], [0, 0, 1.0]])
+
+
+@pytest.fixture(scope="module")
+def bop_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tools_bop")
+    return write_synthetic_bop(str(root), n_scenes=1, n_views=2)
+
+
+def test_labeler_backproject_roundtrip():
+    from suo_slam_tpu.tools.labeling import KeypointLabeler
+
+    he = OBJ_HALF_EXTENTS[1]
+    verts = cuboid_corners(*he)
+    lab = KeypointLabeler(verts, CUBOID_TRIS, K, diameter=2 * np.linalg.norm(he))
+    # project a known surface point (front-face center of view 0) and
+    # back-project the same pixel: must land on the surface nearby
+    T = lab.view_poses[0]
+    p_obj = np.array([0.0, 0.0, 0.0])  # center: backproject hits front surface
+    # find any rendered pixel
+    d = lab.depths[0]
+    ys, xs = np.nonzero(d > 0)
+    pick = len(xs) // 2
+    p = lab.backproject(0, xs[pick], ys[pick])
+    assert p is not None
+    # point must lie on the cuboid surface (one coord at +-half extent)
+    at_surface = [abs(abs(p[i]) - he[i]) < 1.0 for i in range(3)]
+    assert any(at_surface), p
+    # off-object click returns None
+    assert lab.backproject(0, 0, 0) is None
+
+
+def test_labeler_stats_and_save(tmp_path):
+    from suo_slam_tpu.tools.labeling import KeypointLabeler, load_kp_info
+
+    he = OBJ_HALF_EXTENTS[1]
+    verts = cuboid_corners(*he)
+    lab = KeypointLabeler(verts, CUBOID_TRIS, K, diameter=2 * np.linalg.norm(he))
+    d = lab.depths[0]
+    ys, xs = np.nonzero(d > 0)
+    # click 4 nearby pixels as samples of one keypoint
+    name = "box_corner_front_tl"
+    mid = len(xs) // 2
+    for off in range(4):
+        assert lab.add_sample(name, 0, xs[mid + off], ys[mid + off])
+    stats = lab.kp_stats(min_samples=3)
+    assert name in stats
+    mean, cov = stats[name]
+    assert cov.shape == (3, 3) and np.all(np.linalg.eigvalsh(cov) > -1e-9)
+    path = tmp_path / "kp_info" / "obj_000001_kp_info.json"
+    lab.save(str(path))
+    kps, vp = load_kp_info(str(path))
+    np.testing.assert_allclose(kps[name][0], mean)
+    assert vp.shape == (4, 4)
+
+
+def test_viz_make_frame(tmp_path):
+    from suo_slam_tpu.eval.viz import make_frame_viz
+
+    img = np.random.default_rng(0).uniform(0, 1, (120, 160, 3)).astype(np.float32)
+    nk = 41
+    dets = {
+        1: {
+            "bbox": np.array([20.0, 20.0, 100.0, 100.0]),
+            "uv": np.zeros((nk, 2), np.float32),
+            "cov": np.tile(np.eye(2, dtype=np.float32) * 1e-3, (nk, 1, 1)),
+            "kp_mask": np.zeros(nk, bool) | (np.arange(nk) < 8),
+        }
+    }
+    poses = {1: None}
+    viz = make_frame_viz(img, dets, poses, K)
+    assert viz.shape == (120, 320, 3) and viz.dtype == np.uint8
+
+
+def _run(cmd, cwd):
+    env = os.environ.copy()
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    res = subprocess.run(cmd, cwd=cwd, env=env, capture_output=True, text=True,
+                         timeout=600)
+    assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+    return res
+
+
+def test_manual_keypoints_viz_cli(bop_root, tmp_path):
+    out = tmp_path / "labels_viz"
+    _run(
+        [sys.executable, os.path.join(REPO, "manual_keypoints.py"),
+         "--dataset", "ycbv", "--viz", "--data_root", bop_root,
+         "--kp_config_root", os.path.join(bop_root, "kp_configs"),
+         "--out", str(out)],
+        cwd=str(tmp_path),
+    )
+    assert (out / "obj_000001.png").exists()
+
+
+def test_view_sym_choice_cli(bop_root, tmp_path):
+    out = tmp_path / "sym.png"
+    res = _run(
+        [sys.executable, os.path.join(REPO, "view_sym_choice.py"),
+         "--dataset", "ycbv", "--split", "test", "--scene_id", "0",
+         "--view_id", "0", "--obj_id", "3", "--data_root", bop_root,
+         "--kp_config_root", os.path.join(bop_root, "kp_configs"),
+         "--out", str(out)],
+        cwd=str(tmp_path),
+    )
+    assert out.exists()
+    assert "Best symmetry index" in res.stdout
+
+
+def test_plot_cov_cli(bop_root, tmp_path):
+    # train a 1-step tiny checkpoint first
+    env = {"SUO_TINY_NET": "1"}
+    cmd = [sys.executable, os.path.join(REPO, "train.py"),
+           "--dataset", "ycbv", "--data_root", bop_root,
+           "--kp_config_root", os.path.join(bop_root, "kp_configs"),
+           "--data_split", "synt", "--batch_size", "1", "--truncate_obj", "3",
+           "--epochs", "1", "--steps_per_epoch", "1", "--no_bf16"]
+    e = os.environ.copy()
+    e.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO, "SUO_TINY_NET": "1"})
+    res = subprocess.run(cmd, cwd=str(tmp_path), env=e, capture_output=True,
+                         text=True, timeout=600)
+    assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+    ckpt = list(tmp_path.rglob("checkpoint-latest"))[0]
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "plot_cov.py"),
+         "-c", str(ckpt), "--dataset", "ycbv", "--split", "train_synt",
+         "--data_root", bop_root,
+         "--kp_config_root", os.path.join(bop_root, "kp_configs"),
+         "--max_frames", "2", "--out", str(tmp_path)],
+        cwd=str(tmp_path), env=e, capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+    assert (tmp_path / "percent_sigma_inbounds.txt").exists()
+    assert (tmp_path / "sigma_plot.png").exists()
