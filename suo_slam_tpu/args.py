@@ -60,6 +60,9 @@ def get_args(mode="train", argv_override=None):
         parser.add_argument("--no_augmentations", action="store_true")
         parser.add_argument("--steps_per_epoch", type=int, default=0,
                             help="Cap steps per epoch (0 = full dataset); for smoke runs.")
+        parser.add_argument("--use_cache", action="store_true",
+                            help="Use the native mmap frame cache + threaded "
+                                 "gatherer (packs on first run).")
     else:
         parser.add_argument("--nviews", type=int, default=-1,
                             help="1 = single-view PnP, N>1 = SfM per frame, -1 = full SLAM.")

@@ -330,7 +330,8 @@ class BopDataset:
         i = int(np.argmin(dists))
         return T @ syms[i], i
 
-    def get_raw(self, scene_id, view_id, obj_ids, p_give_prior: float = 0.5):
+    def get_raw(self, scene_id, view_id, obj_ids, p_give_prior: float = 0.5,
+                img=None, depth=None):
         """One frame with its objects, vocabulary-layout numpy arrays.
 
         Returns a dict (all numpy):
@@ -339,12 +340,16 @@ class BopDataset:
           K_kps [O,3,3] NDC-fixed K; kp_uvs [O,41,2]; kp_masks [O,41];
           model_kps [O,41,3]; kp_model_masks [O,41];
           prior_uvs [O,41,2]; has_prior [O].
+
+        img/depth: optional pre-decoded frame data (BGR uint8 / mm f32) —
+        the fast-loader cache path (`data.fastload`) supplies these to skip
+        the PNG decode.
         """
-        img = self.read_img(scene_id, view_id)
+        if img is None:
+            img = self.read_img(scene_id, view_id)
         frame = self.data[scene_id][view_id]
         K = frame.K.copy()
-        depth = None
-        if self.mask_occluded:
+        if self.mask_occluded and depth is None:
             depth = self.read_depth(scene_id, view_id)
 
         O = len(obj_ids)

@@ -1,0 +1,213 @@
+"""Fast training IO: binary frame cache + C++ threaded batch gatherer.
+
+Replaces the reference's DataLoader-worker decode tier
+(`train.py:319-325` with `--workers` processes each cv2-decoding PNGs): BOP
+frames are decoded ONCE into a flat mmap-able cache, and at train time the
+native library (`suo_slam_tpu/native/fastload.cpp`, built on first use with
+g++) gathers shuffled batches with a thread pool + madvise readahead. Label
+math (symmetry pick, projection, augmentation) stays in `BopDataset.get_raw`,
+fed with the pre-decoded image, so semantics are identical to the pure-Python
+path.
+
+Usage:
+    pack_cache(dataset, "train.suocache")
+    loader = CacheLoader(dataset, "train.suocache", batch_size=16)
+    for batch in loader.epoch():   # dicts from data.bop.collate
+        ...
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_MAGIC = b"SUOC"
+_VERSION = 1
+_HEADER = np.dtype([
+    ("magic", "S4"), ("version", "<u4"), ("n_samples", "<u8"),
+    ("h", "<u4"), ("w", "<u4"), ("c", "<u4"), ("depth_flag", "<u4"),
+    ("record_bytes", "<u8"),
+])
+
+_LIB = None
+
+
+def _lib_path() -> str:
+    d = os.path.join(os.path.dirname(__file__), "..", "native")
+    return os.path.normpath(os.path.join(d, "libfastload.so"))
+
+
+def build_library(force: bool = False) -> str:
+    """Compile the C++ gatherer with g++ (cached .so next to the source)."""
+    so = _lib_path()
+    src = os.path.join(os.path.dirname(so), "fastload.cpp")
+    if force or not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+               src, "-o", so]
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    return so
+
+
+def _load_lib():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    lib = ctypes.CDLL(build_library())
+    lib.fl_open.restype = ctypes.c_void_p
+    lib.fl_open.argtypes = [ctypes.c_char_p]
+    lib.fl_close.argtypes = [ctypes.c_void_p]
+    for name in ("fl_num_samples",):
+        getattr(lib, name).restype = ctypes.c_int64
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    for name in ("fl_height", "fl_width", "fl_channels", "fl_has_depth"):
+        getattr(lib, name).restype = ctypes.c_int32
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.fl_gather.restype = ctypes.c_int
+    lib.fl_gather.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_void_p, ctypes.c_int,
+    ]
+    lib.fl_prefetch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+    ]
+    _LIB = lib
+    return lib
+
+
+def pack_cache(dataset, path: str, with_depth: bool | None = None) -> str:
+    """Decode every indexed frame of `dataset` into the binary cache."""
+    with_depth = dataset.mask_occluded if with_depth is None else with_depth
+    views = list(dataset.view_index)
+    assert views, "Dataset has no frames"
+    img0 = dataset.read_img(*views[0])
+    h, w, c = img0.shape
+    rec_bytes = 8 + h * w * c + (4 * h * w if with_depth else 0)
+    header = np.zeros((), _HEADER)
+    header["magic"] = _MAGIC
+    header["version"] = _VERSION
+    header["n_samples"] = len(views)
+    header["h"], header["w"], header["c"] = h, w, c
+    header["depth_flag"] = int(with_depth)
+    header["record_bytes"] = rec_bytes
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(header.tobytes())
+        for scene_id, view_id in views:
+            img = dataset.read_img(scene_id, view_id)
+            assert img.shape == (h, w, c), (
+                f"Mixed frame sizes in split: {img.shape} vs {(h, w, c)}"
+            )
+            f.write(np.asarray([scene_id, view_id], "<i4").tobytes())
+            f.write(np.ascontiguousarray(img, np.uint8).tobytes())
+            if with_depth:
+                f.write(
+                    np.ascontiguousarray(
+                        dataset.read_depth(scene_id, view_id), "<f4"
+                    ).tobytes()
+                )
+    os.replace(tmp, path)
+    return path
+
+
+class CacheReader:
+    """ctypes wrapper over the native mmap cache."""
+
+    def __init__(self, path: str):
+        self.lib = _load_lib()
+        self.handle = self.lib.fl_open(path.encode())
+        assert self.handle, f"Failed to open cache {path}"
+        self.n = self.lib.fl_num_samples(self.handle)
+        self.h = self.lib.fl_height(self.handle)
+        self.w = self.lib.fl_width(self.handle)
+        self.c = self.lib.fl_channels(self.handle)
+        self.has_depth = bool(self.lib.fl_has_depth(self.handle))
+
+    def close(self):
+        if self.handle:
+            self.lib.fl_close(self.handle)
+            self.handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def gather(self, indices, n_threads: int = 8):
+        """-> (ids [B, 2] i32, imgs [B, H, W, C] u8, depth [B, H, W] f32|None)."""
+        idx = np.ascontiguousarray(indices, np.int64)
+        b = len(idx)
+        ids = np.empty((b, 2), np.int32)
+        imgs = np.empty((b, self.h, self.w, self.c), np.uint8)
+        depth = np.empty((b, self.h, self.w), np.float32) if self.has_depth else None
+        r = self.lib.fl_gather(
+            self.handle,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), b,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            depth.ctypes.data if depth is not None else None,
+            n_threads,
+        )
+        assert r == 0, "fl_gather failed (index out of range?)"
+        return ids, imgs, depth
+
+    def prefetch(self, indices):
+        idx = np.ascontiguousarray(indices, np.int64)
+        self.lib.fl_prefetch(
+            self.handle, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(idx),
+        )
+
+
+class CacheLoader:
+    """Shuffling batch loader: native image gather + python label math."""
+
+    def __init__(self, dataset, cache_path: str, batch_size: int,
+                 truncate_obj: int | None = None, seed: int = 0,
+                 n_threads: int = 8):
+        if not os.path.exists(cache_path):
+            print(f"Packing frame cache {cache_path} ...")
+            pack_cache(dataset, cache_path)
+        self.dataset = dataset
+        self.reader = CacheReader(cache_path)
+        assert self.reader.n == len(dataset.view_index), (
+            "Cache/dataset mismatch — repack the cache"
+        )
+        self.batch_size = batch_size
+        self.truncate_obj = truncate_obj
+        self.rng = np.random.default_rng(seed)
+        self.n_threads = n_threads
+
+    def __len__(self):
+        return max(1, self.reader.n // self.batch_size)
+
+    def epoch(self, shuffle: bool = True):
+        from .bop import collate
+
+        order = np.arange(self.reader.n)
+        if shuffle:
+            self.rng.shuffle(order)
+        nb = len(self)
+        for b in range(nb):
+            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+            if b + 1 < nb:  # overlap next batch's page-in with this one's math
+                self.reader.prefetch(order[(b + 1) * self.batch_size :
+                                           (b + 2) * self.batch_size])
+            ids, imgs, depths = self.reader.gather(idx, self.n_threads)
+            samples = []
+            for k in range(len(idx)):
+                scene_id, view_id = int(ids[k, 0]), int(ids[k, 1])
+                obj_ids = self.dataset.obj_ids(scene_id, view_id)
+                samples.append(
+                    self.dataset.get_raw(
+                        scene_id, view_id, obj_ids, img=imgs[k],
+                        depth=depths[k] if depths is not None else None,
+                    )
+                )
+            yield collate(samples, truncate_obj=self.truncate_obj,
+                          seed=int(self.rng.integers(2**31)))

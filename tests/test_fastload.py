@@ -1,0 +1,105 @@
+"""Tests for the native C++ frame cache + threaded batch gatherer."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.helpers.synthetic_bop import write_synthetic_bop
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def bop_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fastload_bop")
+    return write_synthetic_bop(str(root), n_scenes=1, n_views=4)
+
+
+@pytest.fixture(scope="module")
+def dataset(bop_root):
+    from suo_slam_tpu.data.bop import BopDataset
+
+    return BopDataset(bop_root, "test",
+                      kp_config_root=os.path.join(bop_root, "kp_configs"), seed=0)
+
+
+def test_build_library():
+    from suo_slam_tpu.data.fastload import build_library
+
+    so = build_library()
+    assert os.path.exists(so)
+
+
+def test_pack_and_gather_matches_direct_read(dataset, tmp_path):
+    from suo_slam_tpu.data.fastload import CacheReader, pack_cache
+
+    path = str(tmp_path / "test.suocache")
+    pack_cache(dataset, path)
+    r = CacheReader(path)
+    assert r.n == 4 and (r.h, r.w, r.c) == (240, 320, 3)
+    ids, imgs, depth = r.gather([2, 0], n_threads=4)
+    assert depth is None
+    for k, i in enumerate([2, 0]):
+        scene_id, view_id = dataset.view_index[i]
+        assert tuple(ids[k]) == (scene_id, view_id)
+        np.testing.assert_array_equal(imgs[k], dataset.read_img(scene_id, view_id))
+    # prefetch is a hint; must not crash
+    r.prefetch([0, 1, 2, 3])
+    # out-of-range -> error
+    with pytest.raises(AssertionError):
+        r.gather([99])
+    r.close()
+
+
+def test_pack_with_depth(dataset, tmp_path):
+    from suo_slam_tpu.data.fastload import CacheReader, pack_cache
+
+    path = str(tmp_path / "d.suocache")
+    pack_cache(dataset, path, with_depth=True)
+    r = CacheReader(path)
+    assert r.has_depth
+    ids, imgs, depth = r.gather([1])
+    scene_id, view_id = dataset.view_index[1]
+    np.testing.assert_allclose(depth[0], dataset.read_depth(scene_id, view_id))
+    r.close()
+
+
+def test_cache_loader_batches_match_python_path(dataset, tmp_path):
+    from suo_slam_tpu.data.fastload import CacheLoader
+
+    loader = CacheLoader(dataset, str(tmp_path / "c.suocache"), batch_size=2, seed=1)
+    batches = list(loader.epoch(shuffle=False))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["images"].shape == (2, 240, 320, 3)
+    assert b["obj_mask"].sum() == 6  # 3 objects per frame
+    # label math identical to the direct path: images are bit-identical and
+    # projections agree (dataset has no augs on test split, prior p=0.5 both
+    # paths consume the same dataset rng, so compare on a fresh dataset)
+    from suo_slam_tpu.data.bop import BopDataset
+
+    ds2 = BopDataset(dataset.data_root, "test",
+                     kp_config_root=os.path.join(dataset.data_root, "kp_configs"),
+                     seed=123)
+    scene_id, view_id = ds2.view_index[0]
+    direct = ds2.get_raw(scene_id, view_id, ds2.obj_ids(scene_id, view_id),
+                         p_give_prior=0.0)
+    np.testing.assert_allclose(b["images"][0], direct["img"], atol=1e-6)
+
+
+def test_train_cli_with_cache(bop_root, tmp_path):
+    env = os.environ.copy()
+    env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO, "SUO_TINY_NET": "1"})
+    cmd = [sys.executable, os.path.join(REPO, "train.py"),
+           "--dataset", "ycbv", "--data_root", bop_root,
+           "--kp_config_root", os.path.join(bop_root, "kp_configs"),
+           "--data_split", "synt", "--batch_size", "2", "--truncate_obj", "3",
+           "--epochs", "1", "--steps_per_epoch", "1", "--no_bf16", "--use_cache"]
+    res = subprocess.run(cmd, cwd=str(tmp_path), env=env, capture_output=True,
+                         text=True, timeout=600)
+    assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-3000:]
+    assert "Native cache loader" in res.stdout
+    assert os.path.exists(os.path.join(bop_root, "train_synt.suocache"))
