@@ -137,10 +137,9 @@ def make_eval_step(net: PkpNet, input_hw: tuple[int, int] = (256, 256)):
 # ---------------------------------------------------------------------------
 
 def data_parallel_mesh(devices=None) -> Mesh:
-    import numpy as np
+    from ..parallel.mesh import data_parallel_mesh as _dp
 
-    devices = devices if devices is not None else jax.devices()
-    return Mesh(np.asarray(devices).reshape(-1), axis_names=("data",))
+    return _dp(devices)
 
 
 def batch_sharding(mesh: Mesh) -> Batch:

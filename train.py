@@ -192,6 +192,11 @@ def main():
                 break
             batch = to_device_batch(np_batch, o_pad=args.truncate_obj)
             state, metrics = step_fn(state, batch, jnp.asarray(float(epoch)))
+            from suo_slam_tpu.utils import ram_guard
+
+            if not ram_guard(99.0):  # host-OOM watchdog (`train.py:105-109`)
+                print("RAM usage too high (>99%). Exiting.")
+                sys.exit(1)
             if (i + 1) % 10 == 0 or i == 0:
                 loss = float(metrics["loss"])
                 avg_loss += loss
