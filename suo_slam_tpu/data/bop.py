@@ -110,7 +110,36 @@ class BopDataset:
         self.no_aug = no_aug or "train" not in split
         self.augs = [] if self.no_aug else aug.default_train_augs()
 
+        # VOC background compositing for synthetic splits
+        # (`lib/datasets/bop.py:66-80,482-537`)
+        self.bg_image_files: list[str] = []
+        if self._should_load_bg_images():
+            bop_root = os.path.realpath(os.path.join(data_root, ".."))
+            bg_dir = os.environ.get(
+                "SUO_BG_IMAGES_DIR",
+                os.path.join(bop_root, "VOCdevkit/VOC2012/JPEGImages"),
+            )
+            if os.path.isdir(bg_dir):
+                exts = (".jpg", ".jpeg", ".JPEG", ".png")
+                self.bg_image_files = [
+                    os.path.join(bg_dir, f)
+                    for f in sorted(os.listdir(bg_dir))
+                    if f.endswith(exts)
+                ]
+            if not self.bg_image_files:
+                print(
+                    f"WARNING: no background images under {bg_dir} — training "
+                    "synthetic splits without VOC compositing (download "
+                    "VOCtrainval_11-May-2012.tar or set SUO_BG_IMAGES_DIR)."
+                )
+
         self._index_scenes()
+
+    def _should_load_bg_images(self) -> bool:
+        """`lib/datasets/bop.py:260-261`."""
+        return "synt" in self.split or (
+            self.bop_dset == "tless" and self.split == "train_primesense"
+        )
 
     # ---------------------------------------------------------------- init --
     @property
@@ -352,6 +381,36 @@ class BopDataset:
         if self.mask_occluded and depth is None:
             depth = self.read_depth(scene_id, view_id)
 
+        paste_imgs = []
+        if self.bg_image_files:
+            # Composite a random background over non-object pixels
+            # (`lib/datasets/bop.py:482-537`): synthetic splits mask by
+            # depth == 0; T-LESS primesense masks by the object mask and adds
+            # 0-2 pasted object crops as occluders.
+            img = np.ascontiguousarray(img).copy()
+            if self.bop_dset == "tless" and self.split == "train_primesense":
+                assert len(obj_ids) == 1
+                mask0 = self.read_mask(scene_id, view_id, obj_ids[0])
+                bg_mask = mask0 != 255
+                for _ in range(int(self.rng.integers(0, 3))):
+                    oi = int(self.rng.integers(len(self.object_index)))
+                    s_p, v_p, o_p = self.object_index[oi]
+                    img_p = self.read_img(s_p, v_p)
+                    mask_p = self.read_mask(s_p, v_p, o_p)
+                    x, y, w, h = [
+                        int(v) for v in self.data[s_p][v_p].objects[o_p].bbox_xywh
+                    ]
+                    paste_imgs.append(
+                        (img_p[y : y + h, x : x + w], mask_p[y : y + h, x : x + w] == 255)
+                    )
+            else:
+                d = depth if depth is not None else self.read_depth(scene_id, view_id)
+                bg_mask = d == 0
+            bg_path = self.bg_image_files[int(self.rng.integers(len(self.bg_image_files)))]
+            bg = _imread(bg_path)
+            bg = cv2.resize(bg, img.shape[:2][::-1])
+            img[bg_mask] = bg[bg_mask]
+
         O = len(obj_ids)
         nk = kp_config.num_kp()
         bboxes = np.zeros((O, 4), np.float32)
@@ -362,6 +421,18 @@ class BopDataset:
             x, y, w, h = xywh
             w, h = max(MIN_BOX_WH, w), max(MIN_BOX_WH, h)
             bboxes[i] = (x, y, x + w, y + h)
+
+        # paste occluders near a random detection (`bop.py:556-571`)
+        for img_p, mask_p in paste_imgs:
+            ph, pw = img_p.shape[:2]
+            if ph == 0 or pw == 0 or ph > img.shape[0] or pw > img.shape[1]:
+                continue
+            x1, y1, x2, y2 = bboxes[int(self.rng.integers(len(bboxes)))].astype(int)
+            px = min(max(0, int(self.rng.integers(x1 - pw, max(x1 - pw + 1, x2)))),
+                     img.shape[1] - pw)
+            py = min(max(0, int(self.rng.integers(y1 - ph, max(y1 - ph + 1, y2)))),
+                     img.shape[0] - ph)
+            img[py : py + ph, px : px + pw][mask_p] = img_p[mask_p]
 
         img, depth, bboxes, K = aug.apply_augs(self.augs, self.rng, img, depth, bboxes, K)
 
