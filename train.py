@@ -98,6 +98,43 @@ def to_device_batch(np_batch, o_pad=None):
     )
 
 
+def _dump_epoch_viz(outdir, epoch, net, params, np_batch, max_objs=4):
+    """Per-epoch prediction viz PNG (the reference dumps viz every epoch,
+    `train.py:119-156`). Best-effort: failures never kill training."""
+    try:
+        import cv2
+        import jax
+        import jax.numpy as jnp
+
+        from suo_slam_tpu.eval.viz import make_frame_viz
+        from suo_slam_tpu.ops import heatmap as hm
+        from suo_slam_tpu.ops import roi as roi_ops
+
+        img = np_batch["images"][0]
+        boxes = np_batch["boxes"][0]
+        omask = np_batch["obj_mask"][0]
+        crops = roi_ops.roi_crop_batch(
+            jnp.asarray(img[None]), jnp.asarray(boxes[None]),
+            jnp.asarray(omask[None]), (256, 256),
+        )[0]
+        out = net.apply({"params": params}, crops)
+        dets = {}
+        for i in range(min(int(omask.sum()), max_objs)):
+            dets[int(np_batch["obj_ids"][0][i]) if "obj_ids" in np_batch else i + 1] = {
+                "bbox": boxes[i],
+                "uv": np.asarray(out.uv[i]),
+                "cov": np.asarray(out.cov[i]) if out.cov is not None else None,
+                "kp_mask": np.asarray(out.kp_mask[i] > 0.3)
+                & np_batch["kp_model_masks"][0][i],
+            }
+        viz_dir = os.path.join(outdir, f"viz_train_epoch_{epoch}")
+        os.makedirs(viz_dir, exist_ok=True)
+        viz = make_frame_viz(img, dets, {}, np_batch["K"][0])
+        cv2.imwrite(os.path.join(viz_dir, "sample.png"), viz[..., ::-1])
+    except Exception as e:  # pragma: no cover
+        print(f"viz dump failed: {e}")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -215,6 +252,7 @@ def main():
         is_best = val < best_val
         best_val = min(best_val, val)
         ckpt.save_checkpoint(outdir, state, epoch, args_dict, best_val, is_best=is_best)
+        _dump_epoch_viz(outdir, epoch, net, state.params, np_batch)
         print(
             f"Epoch {epoch} done in {time.time() - t_epoch:.1f}s, "
             f"avg loss {val:.4f}{' (best)' if is_best else ''}"
