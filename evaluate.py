@@ -65,20 +65,19 @@ class Evaluator:
         if not debug_saved_only:
             net = params = None
             if not debug_gt_kp:
+                import jax
                 import jax.numpy as jnp
 
                 from suo_slam_tpu.models import PkpNet
-                from suo_slam_tpu.train.checkpoint import load_params_only
+                from suo_slam_tpu.train.checkpoint import load_model_only
 
                 net = PkpNet(
                     calc_cov=not no_network_cov, norm=norm,
                     dtype=jnp.bfloat16 if bf16 else jnp.float32,
                 )
-                import jax
-
                 dummy = jnp.zeros((1, 256, 256, 3))
-                template = net.init(jax.random.PRNGKey(0), dummy)["params"]
-                params, self.model_epoch, _ = load_params_only(chkpt_path, template)
+                template = net.init(jax.random.PRNGKey(0), dummy)
+                params, self.model_epoch, _ = load_model_only(chkpt_path, template)
             cfg = SlamConfig(
                 sfm_mode=nviews > 1,
                 single_view_mode=nviews == 1,

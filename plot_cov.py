@@ -38,14 +38,14 @@ def main():
     from suo_slam_tpu.models import PkpNet
     from suo_slam_tpu.ops import heatmap as hm
     from suo_slam_tpu.ops import roi as roi_ops
-    from suo_slam_tpu.train.checkpoint import load_params_only
+    from suo_slam_tpu.train.checkpoint import load_model_only
 
     tiny = bool(int(os.environ.get("SUO_TINY_NET", "0")))
     net = PkpNet(norm=args.norm,
                  **(dict(n_stack=1, n_modules=1, features=16) if tiny else {}))
     dummy = jnp.zeros((1, 256, 256, 3))
-    template = net.init(jax.random.PRNGKey(0), dummy)["params"]
-    params, _, _ = load_params_only(args.checkpoint_path, template)
+    template = net.init(jax.random.PRNGKey(0), dummy)
+    variables, _, _ = load_model_only(args.checkpoint_path, template)
 
     ds = BopDataset(data_root, args.split, bop_dset=args.dataset, no_aug=True,
                     ignore_symmetry=False, kp_config_root=args.kp_config_root,
@@ -60,7 +60,7 @@ def main():
         prior = hm.render_prior_heatmaps(
             prior_uv.reshape(b * o, -1, 2), prior_mask.reshape(b * o, -1),
             hw=phw, sigma_px=hm.prior_sigma_for(phw))
-        out = net.apply({"params": params}, crops)
+        out = net.apply(variables, crops)
         return out.uv.reshape(b, o, -1, 2), out.cov.reshape(b, o, -1, 2, 2)
 
     errs, sigmas, chi2s = [], [], []

@@ -8,11 +8,11 @@ supervision and re-injection (`hg.py:104-117`).
 
 TPU-first deviations (deliberate, documented):
 - NHWC layout and optional bfloat16 compute dtype (params stay f32).
-- Normalization defaults to GroupNorm instead of BatchNorm2d: the pipeline
-  feeds *padded* variable-count object batches, where batch statistics would
-  mix real and padded rows, and data-parallel training would need cross-chip
-  stat syncing. GroupNorm is batch-independent, mask-safe, and sync-free.
-  `norm="batch"` is available for strict-parity experiments.
+- Normalization defaults to a MASKED BatchNorm: like the reference's
+  BatchNorm2d but with training statistics that ignore padded batch rows
+  (the pipeline feeds padded variable-count object batches). At inference it
+  is a per-channel affine that XLA folds into the convolutions — no reduce
+  passes. `norm="group"` (batch-independent, sync-free) remains available.
 - Nearest-neighbor x2 upsampling implemented as a reshape-broadcast (XLA
   fuses it; `F.interpolate(scale_factor=2)` default mode is nearest too).
 - All nStack intermediate heatmaps are returned (the reference computes but
@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -38,23 +39,75 @@ def upsample2x(x: jax.Array) -> jax.Array:
     return x.reshape(b, 2 * h, 2 * w, c)
 
 
-class Norm(nn.Module):
-    """GroupNorm (default) or BatchNorm, computed in f32."""
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm whose training statistics ignore padded batch rows.
 
-    kind: str = "group"
+    The pipeline feeds *padded* variable-count object batches; plain
+    BatchNorm2d (the reference's choice, `Residual.py:10`) would mix real and
+    padded rows into the statistics. `row_mask` [N] marks the real rows.
+    At inference the running averages are a pure per-channel affine, which
+    XLA folds into the adjacent convolutions — zero reduce passes (GroupNorm
+    costs an extra full-activation HBM read per call; measured ~17 ms of the
+    97 ms forward at batch 256).
+    """
+
+    momentum: float = 0.9
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False,
+                 row_mask: jax.Array | None = None) -> jax.Array:
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if train:
+            xf = x.astype(jnp.float32)
+            if row_mask is not None:
+                m = row_mask.astype(jnp.float32).reshape(
+                    (-1,) + (1,) * (x.ndim - 1)
+                )
+                per_row = float(np.prod(x.shape[1:-1]))
+                cnt = jnp.maximum(jnp.sum(m) * per_row, 1.0)
+                mean = jnp.sum(xf * m, axis=tuple(range(x.ndim - 1))) / cnt
+                var = jnp.sum(((xf - mean) ** 2) * m,
+                              axis=tuple(range(x.ndim - 1))) / cnt
+            else:
+                mean = jnp.mean(xf, axis=tuple(range(x.ndim - 1)))
+                var = jnp.var(xf, axis=tuple(range(x.ndim - 1)))
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        y = x.astype(jnp.float32) * inv + (bias - mean * inv)
+        return y.astype(x.dtype)
+
+
+class Norm(nn.Module):
+    """Masked BatchNorm (default — folds to affine at inference, like the
+    reference's BatchNorm2d) or GroupNorm (batch-independent alternative)."""
+
+    kind: str = "batch"
     groups: int = 32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 row_mask: jax.Array | None = None) -> jax.Array:
+        if self.kind == "batch":
+            return MaskedBatchNorm()(x, train, row_mask)
         dtype = x.dtype
-        x32 = x.astype(jnp.float32)
         if self.kind == "group":
             g = min(self.groups, x.shape[-1])
             while x.shape[-1] % g:
                 g -= 1
-            y = nn.GroupNorm(num_groups=g, dtype=jnp.float32)(x32)
-        elif self.kind == "batch":
-            y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x32)
+            y = nn.GroupNorm(num_groups=g, dtype=jnp.float32)(x.astype(jnp.float32))
         else:
             raise ValueError(f"Unknown norm kind {self.kind!r}")
         return y.astype(dtype)
@@ -68,19 +121,20 @@ class Residual(nn.Module):
     """
 
     features: int
-    norm: str = "group"
+    norm: str = "batch"
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 row_mask: jax.Array | None = None) -> jax.Array:
         mid = self.features // 2
-        y = Norm(self.norm)(x, train)
+        y = Norm(self.norm)(x, train, row_mask)
         y = nn.relu(y)
         y = nn.Conv(mid, (1, 1), dtype=self.dtype)(y)
-        y = Norm(self.norm)(y, train)
+        y = Norm(self.norm)(y, train, row_mask)
         y = nn.relu(y)
         y = nn.Conv(mid, (3, 3), padding=1, dtype=self.dtype)(y)
-        y = Norm(self.norm)(y, train)
+        y = Norm(self.norm)(y, train, row_mask)
         y = nn.relu(y)
         y = nn.Conv(self.features, (1, 1), dtype=self.dtype)(y)
         if x.shape[-1] != self.features:
@@ -94,26 +148,27 @@ class Hourglass(nn.Module):
     n: int
     n_modules: int
     features: int
-    norm: str = "group"
+    norm: str = "batch"
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 row_mask: jax.Array | None = None) -> jax.Array:
         up1 = x
         for _ in range(self.n_modules):
-            up1 = Residual(self.features, self.norm, self.dtype)(up1, train)
+            up1 = Residual(self.features, self.norm, self.dtype)(up1, train, row_mask)
         low = nn.max_pool(x, (2, 2), strides=(2, 2))
         for _ in range(self.n_modules):
-            low = Residual(self.features, self.norm, self.dtype)(low, train)
+            low = Residual(self.features, self.norm, self.dtype)(low, train, row_mask)
         if self.n > 1:
             low = Hourglass(self.n - 1, self.n_modules, self.features, self.norm, self.dtype)(
-                low, train
+                low, train, row_mask
             )
         else:
             for _ in range(self.n_modules):
-                low = Residual(self.features, self.norm, self.dtype)(low, train)
+                low = Residual(self.features, self.norm, self.dtype)(low, train, row_mask)
         for _ in range(self.n_modules):
-            low = Residual(self.features, self.norm, self.dtype)(low, train)
+            low = Residual(self.features, self.norm, self.dtype)(low, train, row_mask)
         return up1 + upsample2x(low)
 
 
@@ -126,24 +181,26 @@ class HourglassNet(nn.Module):
     n_modules: int = 2
     features: int = 256
     depth: int = 4
-    norm: str = "group"
+    norm: str = "batch"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, train: bool = False, extra: jax.Array | None = None
+        self, x: jax.Array, train: bool = False, extra: jax.Array | None = None,
+        row_mask: jax.Array | None = None,
     ) -> Sequence[jax.Array]:
         """`extra`: optional [N, H/4, W/4, C_e] low-resolution conditioning
         input injected after the stem via a 1x1 projection (the TPU-first home
-        of the prior-keypoint channels — see `models/pkpnet.py`)."""
+        of the prior-keypoint channels — see `models/pkpnet.py`).
+        `row_mask`: [N] real-row validity for masked BatchNorm statistics."""
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, dtype=self.dtype)(x)
-        x = Norm(self.norm)(x, train)
+        x = Norm(self.norm)(x, train, row_mask)
         x = nn.relu(x)
-        x = Residual(128, self.norm, self.dtype)(x, train)
+        x = Residual(128, self.norm, self.dtype)(x, train, row_mask)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = Residual(128, self.norm, self.dtype)(x, train)
-        x = Residual(self.features, self.norm, self.dtype)(x, train)
+        x = Residual(128, self.norm, self.dtype)(x, train, row_mask)
+        x = Residual(self.features, self.norm, self.dtype)(x, train, row_mask)
         if extra is not None:
             x = x + nn.Conv(self.features, (1, 1), dtype=self.dtype)(
                 extra.astype(self.dtype)
@@ -152,13 +209,13 @@ class HourglassNet(nn.Module):
         outs = []
         for i in range(self.n_stack):
             hg = Hourglass(self.depth, self.n_modules, self.features, self.norm, self.dtype)(
-                x, train
+                x, train, row_mask
             )
             ll = hg
             for _ in range(self.n_modules):
-                ll = Residual(self.features, self.norm, self.dtype)(ll, train)
+                ll = Residual(self.features, self.norm, self.dtype)(ll, train, row_mask)
             ll = nn.Conv(self.features, (1, 1), dtype=self.dtype)(ll)
-            ll = Norm(self.norm)(ll, train)
+            ll = Norm(self.norm)(ll, train, row_mask)
             ll = nn.relu(ll)
             # Heatmap logits head in f32 for a stable softmax readout.
             tmp_out = nn.Conv(self.num_output, (1, 1), dtype=jnp.float32)(

@@ -59,7 +59,7 @@ class PkpNet(nn.Module):
     n_stack: int = 2
     n_modules: int = 2
     features: int = 256
-    norm: str = "group"
+    norm: str = "batch"
     prior_mode: str = "post_stem"  # "post_stem" (TPU-first) | "concat" (reference)
     dtype: Dtype = jnp.float32
 
@@ -75,7 +75,10 @@ class PkpNet(nn.Module):
         images_roi: jax.Array,
         prior_kp: jax.Array | None = None,
         train: bool = False,
+        row_mask: jax.Array | None = None,
     ) -> PkpNetOutput:
+        """row_mask: [N] real-row validity — padded ROI slots are excluded
+        from BatchNorm training statistics."""
         n, h, w, c = images_roi.shape
         assert c == 3, f"expected RGB ROI batch, got {images_roi.shape}"
         backbone = HourglassNet(
@@ -94,14 +97,14 @@ class PkpNet(nn.Module):
             x = jnp.concatenate(
                 [images_roi, prior_kp.astype(images_roi.dtype)], axis=-1
             )
-            outs = backbone(x, train)
+            outs = backbone(x, train, row_mask=row_mask)
         else:
             if prior_kp is None:
                 prior_kp = jnp.zeros((n, h // 4, w // 4, self.num_kp), images_roi.dtype)
             assert prior_kp.shape[1:3] == (h // 4, w // 4), (
                 f"post_stem prior must be H/4 x W/4, got {prior_kp.shape}"
             )
-            outs = backbone(images_roi, train, extra=prior_kp)
+            outs = backbone(images_roi, train, extra=prior_kp, row_mask=row_mask)
         raw = outs[-1]  # [N, h/4, w/4, K] f32
 
         prob = hm.spatial_softmax(raw)

@@ -50,20 +50,23 @@ def pad_to_multiple(x: np.ndarray, m: int):
     return np.concatenate([x, pad]), n
 
 
-def make_sharded_inference(net, params, mesh: Mesh, input_hw=(256, 256)):
+def make_sharded_inference(net, variables, mesh: Mesh, input_hw=(256, 256)):
     """Jitted PkpNet forward with the crop batch sharded over the mesh.
 
+    variables: full flax variables dict (a bare params tree is wrapped).
     Returns fn(images_roi [N, H, W, 3], prior [N, ph, pw, K]) ->
     (uv, cov, kp_mask) with N divisible by the mesh size (use
     `pad_to_multiple`).
     """
+    if "params" not in variables:
+        variables = {"params": variables}
     rep = replicated(mesh)
     shd = batch_sharded(mesh)
-    params = jax.device_put(params, rep)
+    variables = jax.device_put(variables, rep)
 
     @jax.jit
     def fwd(images_roi, prior):
-        out = net.apply({"params": params}, images_roi, prior)
+        out = net.apply(variables, images_roi, prior)
         return out.uv, out.cov, out.kp_mask
 
     def fn(images_roi, prior):

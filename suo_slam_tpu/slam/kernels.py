@@ -211,8 +211,12 @@ def reinit_counts(
     return counts_obj(T_pnp_OtoG), counts_obj(T_est_OtoG)
 
 
-def make_frame_inference(net, params, input_hw=(256, 256)):
+def make_frame_inference(net, variables, input_hw=(256, 256)):
     """Build the jitted fused per-frame network call.
+
+    variables: the flax variables dict (`net.init(...)` / checkpoint) —
+    params plus batch_stats for BatchNorm models. A bare params tree is
+    wrapped for backward compatibility.
 
     Returns fn(img [H, W, 3], boxes [O, 4], obj_valid [O], prior_uv [O, K, 2],
     prior_valid [O, K]) -> (uv [O, K, 2], cov [O, K, 2, 2] | None,
@@ -221,6 +225,8 @@ def make_frame_inference(net, params, input_hw=(256, 256)):
     from ..ops import heatmap as hm
     from ..ops import roi as roi_ops
 
+    if "params" not in variables:
+        variables = {"params": variables}
     phw = net.prior_hw(input_hw)
 
     @jax.jit
@@ -231,7 +237,7 @@ def make_frame_inference(net, params, input_hw=(256, 256)):
         prior = hm.render_prior_heatmaps(
             prior_uv, prior_valid, hw=phw, sigma_px=hm.prior_sigma_for(phw)
         )
-        out = net.apply({"params": params}, crops, prior)
+        out = net.apply(variables, crops, prior)
         return out.uv, out.cov, out.kp_mask
 
     return fn

@@ -52,6 +52,7 @@ def save_checkpoint(outdir: str, state, epoch: int, args: dict, best_val: float,
     """state: train.harness.TrainState (params + opt_state + step + rng)."""
     payload = {
         "params": state.params,
+        "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
         "step": np.asarray(state.step),
         "rng": np.asarray(state.rng),
@@ -80,6 +81,7 @@ def load_checkpoint(path: str, state_template):
         data = f.read()
     template = {
         "params": state_template.params,
+        "batch_stats": state_template.batch_stats,
         "opt_state": state_template.opt_state,
         "step": np.asarray(state_template.step),
         "rng": np.asarray(state_template.rng),
@@ -90,6 +92,7 @@ def load_checkpoint(path: str, state_template):
     payload = serialization.from_bytes(template, data)
     state = state_template._replace(
         params=payload["params"],
+        batch_stats=payload["batch_stats"],
         opt_state=payload["opt_state"],
         step=jax.numpy.asarray(payload["step"]),
         rng=jax.numpy.asarray(payload["rng"]),
@@ -98,13 +101,25 @@ def load_checkpoint(path: str, state_template):
     return state, int(payload["epoch"]), args, float(payload["best_val"])
 
 
-def load_params_only(path: str, params_template):
-    """For eval / --pretrain: just the network params."""
+def load_model_only(path: str, variables_template):
+    """For eval / --pretrain: the model variables (params [+ batch_stats]).
+
+    variables_template: dict like `net.init(...)` returns.
+    Returns (variables, epoch, args).
+    """
     with open(path, "rb") as f:
         data = f.read()
-    # tolerant partial restore: parse full dict, take params subtree
+    # tolerant partial restore: parse full dict, take the model subtrees
     payload = serialization.msgpack_restore(data)
-    params = serialization.from_state_dict(params_template, payload["params"])
+    variables = {
+        "params": serialization.from_state_dict(
+            variables_template["params"], payload["params"]
+        )
+    }
+    if "batch_stats" in variables_template and payload.get("batch_stats"):
+        variables["batch_stats"] = serialization.from_state_dict(
+            variables_template["batch_stats"], payload["batch_stats"]
+        )
     epoch = int(np.asarray(payload.get("epoch", -1)))
     args = json.loads(payload.get("args_json", "") or "{}")
-    return params, epoch, args
+    return variables, epoch, args

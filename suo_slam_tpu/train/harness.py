@@ -29,6 +29,7 @@ from . import losses
 
 class TrainState(NamedTuple):
     params: Any
+    batch_stats: Any  # masked-BatchNorm running stats ({} for norm="group")
     opt_state: Any
     step: jax.Array
     rng: jax.Array
@@ -67,14 +68,22 @@ def init_state(
     params = variables["params"]
     return TrainState(
         params=params,
+        batch_stats=variables.get("batch_stats", {}),
         opt_state=optimizer.init(params),
         step=jnp.zeros((), jnp.int32),
         rng=rng,
     )
 
 
-def _forward_loss(net, params, batch: Batch, epoch, dropout_rng, train: bool,
-                  input_hw: tuple[int, int]):
+def model_variables(params, batch_stats=None) -> dict:
+    v = {"params": params}
+    if batch_stats:
+        v["batch_stats"] = batch_stats
+    return v
+
+
+def _forward_loss(net, params, batch_stats, batch: Batch, epoch, dropout_rng,
+                  train: bool, input_hw: tuple[int, int]):
     from ..ops import heatmap as hm
 
     b, o = batch.boxes.shape[:2]
@@ -87,12 +96,15 @@ def _forward_loss(net, params, batch: Batch, epoch, dropout_rng, train: bool,
         hw=phw,
         sigma_px=hm.prior_sigma_for(phw),
     )
-    out = net.apply(
-        {"params": params},
+    row_mask = batch.obj_mask.reshape(b * o)
+    out, updated = net.apply(
+        model_variables(params, batch_stats),
         crops,
         prior,
         train=train,
+        row_mask=row_mask,
         rngs={"dropout": dropout_rng} if train else None,
+        mutable=["batch_stats"] if train else [],
     )
     uv_gt = batch.uv_gt.reshape(b * o, -1, 2)
     # labeled channels of real (non-padded) object slots only
@@ -100,7 +112,7 @@ def _forward_loss(net, params, batch: Batch, epoch, dropout_rng, train: bool,
     loss, aux = losses.total_loss(
         out.uv, out.cov, out.prob, out.kp_mask_logits, uv_gt, kp_mask, epoch
     )
-    return loss, aux
+    return loss, (aux, updated.get("batch_stats", batch_stats))
 
 
 def make_train_step(net: PkpNet, optimizer: optax.GradientTransformation,
@@ -111,21 +123,25 @@ def make_train_step(net: PkpNet, optimizer: optax.GradientTransformation,
         rng, dropout_rng = jax.random.split(state.rng)
 
         def loss_fn(p):
-            return _forward_loss(net, p, batch, epoch, dropout_rng, True, input_hw)
+            return _forward_loss(net, p, state.batch_stats, batch, epoch,
+                                 dropout_rng, True, input_hw)
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (aux, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(aux, loss=loss)
-        return TrainState(params, opt_state, state.step + 1, rng), metrics
+        return TrainState(params, new_stats, opt_state, state.step + 1, rng), metrics
 
     return step
 
 
 def make_eval_step(net: PkpNet, input_hw: tuple[int, int] = (256, 256)):
-    def step(params, batch: Batch, epoch: jax.Array):
-        loss, aux = _forward_loss(
-            net, params, batch, epoch, jax.random.PRNGKey(0), False, input_hw
+    def step(params, batch_stats, batch: Batch, epoch: jax.Array):
+        loss, (aux, _) = _forward_loss(
+            net, params, batch_stats, batch, epoch, jax.random.PRNGKey(0),
+            False, input_hw
         )
         return dict(aux, loss=loss)
 
@@ -161,7 +177,8 @@ def make_sharded_train_step(net, optimizer, mesh: Mesh,
     """
     step = make_train_step(net, optimizer, input_hw)
     rep = replicated(mesh)
-    state_shard = TrainState(params=rep, opt_state=rep, step=rep, rng=rep)
+    state_shard = TrainState(params=rep, batch_stats=rep, opt_state=rep,
+                             step=rep, rng=rep)
     return jax.jit(
         step,
         in_shardings=(state_shard, batch_sharding(mesh), rep),

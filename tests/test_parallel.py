@@ -50,11 +50,11 @@ def test_sharded_train_step_matches_single_device():
     s2, m2 = single(state0b, batch, jnp.asarray(3.0))
     # same loss and same updated params: DP sharding must be semantically
     # identical to single-device execution (up to f32 reduction order)
-    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
     l1 = jax.tree_util.tree_leaves(s1.params)
     l2 = jax.tree_util.tree_leaves(s2.params)
     for a, b in zip(l1, l2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
 def test_sharded_inference_matches_local():
@@ -64,7 +64,7 @@ def test_sharded_inference_matches_local():
     variables = net.init(jax.random.PRNGKey(0), x[:1])
     ph, pw = net.prior_hw((64, 64))
     prior = jnp.zeros((8, ph, pw, 41))
-    fn = make_sharded_inference(net, variables["params"], mesh, input_hw=(64, 64))
+    fn = make_sharded_inference(net, variables, mesh, input_hw=(64, 64))
     uv_s, cov_s, mask_s = fn(x, prior)
     out = net.apply(variables, x, prior)
     # f32 reduction-order differences through the conv stack allow ~1e-4

@@ -14,15 +14,13 @@ from tests.test_slam_engine import StubMeshDb, make_scene, project_frame
 
 def test_engine_with_random_network_runs_and_degrades_gracefully():
     net = PkpNet(n_stack=1, n_modules=1, features=16)
-    params = net.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
-    )["params"]
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     cfg = SlamConfig(
         input_hw=(64, 64), view_capacity=8, obj_capacity=8,
         manual_kp_std=0.01, mask_thresh=-1.0,  # accept all channels
     )
     mesh = StubMeshDb(8, symmetric=(2,))
-    engine = ObjectSlam(cfg, mesh_db=mesh, net=net, params=params)
+    engine = ObjectSlam(cfg, mesh_db=mesh, net=net, params=variables)
     K, hw, kp, T_obj, cams = make_scene(n_obj=3, n_views=3, seed=1)
     img = np.random.default_rng(0).uniform(0, 1, (240, 320, 3)).astype(np.float32)
     for i, T in enumerate(cams):
@@ -41,11 +39,11 @@ def test_engine_with_random_network_runs_and_degrades_gracefully():
 def test_engine_symmetric_prior_feedback_path():
     """Force the prior path: give_all_prior + an object with a map pose."""
     net = PkpNet(n_stack=1, n_modules=1, features=16)
-    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     cfg = SlamConfig(
         input_hw=(64, 64), view_capacity=8, obj_capacity=8, give_all_prior=True,
     )
-    engine = ObjectSlam(cfg, mesh_db=StubMeshDb(8), net=net, params=params)
+    engine = ObjectSlam(cfg, mesh_db=StubMeshDb(8), net=net, params=variables)
     K, hw, kp, T_obj, cams = make_scene(n_obj=2, n_views=2, seed=2)
     img = np.zeros((240, 320, 3), np.float32)
     for i, T in enumerate(cams):

@@ -98,7 +98,7 @@ def to_device_batch(np_batch, o_pad=None):
     )
 
 
-def _dump_epoch_viz(outdir, epoch, net, params, np_batch, max_objs=4):
+def _dump_epoch_viz(outdir, epoch, net, state, np_batch, max_objs=4):
     """Per-epoch prediction viz PNG (the reference dumps viz every epoch,
     `train.py:119-156`). Best-effort: failures never kill training."""
     try:
@@ -109,6 +109,7 @@ def _dump_epoch_viz(outdir, epoch, net, params, np_batch, max_objs=4):
         from suo_slam_tpu.eval.viz import make_frame_viz
         from suo_slam_tpu.ops import heatmap as hm
         from suo_slam_tpu.ops import roi as roi_ops
+        from suo_slam_tpu.train.harness import model_variables
 
         img = np_batch["images"][0]
         boxes = np_batch["boxes"][0]
@@ -117,7 +118,7 @@ def _dump_epoch_viz(outdir, epoch, net, params, np_batch, max_objs=4):
             jnp.asarray(img[None]), jnp.asarray(boxes[None]),
             jnp.asarray(omask[None]), (256, 256),
         )[0]
-        out = net.apply({"params": params}, crops)
+        out = net.apply(model_variables(state.params, state.batch_stats), crops)
         dets = {}
         for i in range(min(int(omask.sum()), max_objs)):
             dets[int(np_batch["obj_ids"][0][i]) if "obj_ids" in np_batch else i + 1] = {
@@ -178,10 +179,16 @@ def main():
         start_epoch += 1
         outdir = os.path.dirname(args.checkpoint_path)
     if args.pretrain:
-        from suo_slam_tpu.train.checkpoint import load_params_only
+        from suo_slam_tpu.train.checkpoint import load_model_only
+        from suo_slam_tpu.train.harness import model_variables
 
-        params, _, _ = load_params_only(args.pretrain, state.params)
-        state = state._replace(params=params)
+        variables, _, _ = load_model_only(
+            args.pretrain, model_variables(state.params, state.batch_stats)
+        )
+        state = state._replace(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", state.batch_stats),
+        )
     if outdir is None:
         outdir = os.path.join(
             results_root, ckpt.output_dir_name(args.dataset, split_tag, args.ext)
@@ -252,7 +259,7 @@ def main():
         is_best = val < best_val
         best_val = min(best_val, val)
         ckpt.save_checkpoint(outdir, state, epoch, args_dict, best_val, is_best=is_best)
-        _dump_epoch_viz(outdir, epoch, net, state.params, np_batch)
+        _dump_epoch_viz(outdir, epoch, net, state, np_batch)
         print(
             f"Epoch {epoch} done in {time.time() - t_epoch:.1f}s, "
             f"avg loss {val:.4f}{' (best)' if is_best else ''}"
