@@ -131,23 +131,34 @@ def write_synthetic_bop(
     n_views: int = 4,
     hw: tuple[int, int] = (240, 320),
     seed: int = 0,
-    splits: tuple[str, ...] = ("train_synt", "test"),
+    splits: tuple[str, ...] | None = None,
     obj2_continuous_sym: bool = True,
+    bop_dset: str = "ycbv",
 ):
-    """Create the dataset under `root` (BOP name "ycbv"). Returns root.
+    """Create the dataset under `root`. Returns root.
 
     Object 2 optionally gets a continuous z-axis symmetry entry (exercising
     the discretization path); object 3 gets one discrete 180-deg symmetry.
+
+    bop_dset="tless" writes the T-LESS layout instead: `models_cad` (+
+    `models_eval` symlink), `test_primesense` split, and
+    `all_target_tless.json` targets instead of `keyframe.txt`.
     """
     import cv2
 
+    if splits is None:
+        splits = (
+            ("train_primesense", "test_primesense")
+            if bop_dset == "tless" else ("train_synt", "test")
+        )
     rng = np.random.default_rng(seed)
     h, w = hw
     K = np.array([[280.0, 0.0, w / 2.0], [0.0, 280.0, h / 2.0], [0.0, 0.0, 1.0]])
     os.makedirs(root, exist_ok=True)
 
     # ---- models dir + models_info.json + PLYs -----------------------------
-    models_dir = os.path.join(root, "models_bop-compat")
+    models_name = "models_bop-compat" if bop_dset == "ycbv" else "models_cad"
+    models_dir = os.path.join(root, models_name)
     os.makedirs(models_dir, exist_ok=True)
     models_info = {}
     for obj_id, he in OBJ_HALF_EXTENTS.items():
@@ -206,7 +217,7 @@ def write_synthetic_bop(
     # ---- kp config csv (box_like only, 3 objects) -------------------------
     cfg_dir = os.path.join(root, "kp_configs")
     os.makedirs(cfg_dir, exist_ok=True)
-    with open(os.path.join(cfg_dir, "ycbv_kp_config.csv"), "w") as f:
+    with open(os.path.join(cfg_dir, f"{bop_dset}_kp_config.csv"), "w") as f:
         f.write("# instance, class, has_grip, has_spout, has_brand_name, "
                 "has_nutrition_facts, has_bar_code\n")
         for obj_id in OBJ_HALF_EXTENTS:
@@ -272,7 +283,7 @@ def write_synthetic_bop(
                     )
                 scene_gt[str(view_id)] = gt_list
                 scene_gt_info[str(view_id)] = info_list
-                if split == "test":
+                if "test" in split:
                     keyframe_lines.append(f"{scene_id:06d}/{view_id:06d}")
             with open(os.path.join(scene_dir, "scene_camera.json"), "w") as f:
                 json.dump(scene_camera, f)
@@ -280,8 +291,22 @@ def write_synthetic_bop(
                 json.dump(scene_gt, f)
             with open(os.path.join(scene_dir, "scene_gt_info.json"), "w") as f:
                 json.dump(scene_gt_info, f)
-    with open(os.path.join(root, "keyframe.txt"), "w") as f:
-        f.write("\n".join(keyframe_lines) + "\n")
+    if bop_dset == "ycbv":
+        with open(os.path.join(root, "keyframe.txt"), "w") as f:
+            f.write("\n".join(keyframe_lines) + "\n")
+    else:
+        targets = []
+        for ln in keyframe_lines:
+            s, v = (int(x) for x in ln.split("/"))
+            for obj_id in OBJ_HALF_EXTENTS:
+                targets.append({
+                    "scene_id": s, "im_id": v, "obj_id": obj_id, "inst_count": 1,
+                })
+        with open(os.path.join(root, "all_target_tless.json"), "w") as f:
+            json.dump(targets, f)
+        eval_dir = os.path.join(root, "models_eval")
+        if not os.path.exists(eval_dir):
+            os.symlink(models_name, eval_dir, target_is_directory=True)
     return root
 
 
