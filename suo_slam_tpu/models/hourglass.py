@@ -123,6 +123,7 @@ class Residual(nn.Module):
     features: int
     norm: str = "batch"
     dtype: Dtype = jnp.float32
+    conv_cls: Any = nn.Conv
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
@@ -130,15 +131,15 @@ class Residual(nn.Module):
         mid = self.features // 2
         y = Norm(self.norm)(x, train, row_mask)
         y = nn.relu(y)
-        y = nn.Conv(mid, (1, 1), dtype=self.dtype)(y)
+        y = self.conv_cls(mid, (1, 1), dtype=self.dtype)(y)
         y = Norm(self.norm)(y, train, row_mask)
         y = nn.relu(y)
-        y = nn.Conv(mid, (3, 3), padding=1, dtype=self.dtype)(y)
+        y = self.conv_cls(mid, (3, 3), padding=1, dtype=self.dtype)(y)
         y = Norm(self.norm)(y, train, row_mask)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (1, 1), dtype=self.dtype)(y)
+        y = self.conv_cls(self.features, (1, 1), dtype=self.dtype)(y)
         if x.shape[-1] != self.features:
-            x = nn.Conv(self.features, (1, 1), dtype=self.dtype)(x)
+            x = self.conv_cls(self.features, (1, 1), dtype=self.dtype)(x)
         return x + y
 
 
@@ -150,25 +151,26 @@ class Hourglass(nn.Module):
     features: int
     norm: str = "batch"
     dtype: Dtype = jnp.float32
+    conv_cls: Any = nn.Conv
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
                  row_mask: jax.Array | None = None) -> jax.Array:
+        res = lambda: Residual(self.features, self.norm, self.dtype, self.conv_cls)
         up1 = x
         for _ in range(self.n_modules):
-            up1 = Residual(self.features, self.norm, self.dtype)(up1, train, row_mask)
+            up1 = res()(up1, train, row_mask)
         low = nn.max_pool(x, (2, 2), strides=(2, 2))
         for _ in range(self.n_modules):
-            low = Residual(self.features, self.norm, self.dtype)(low, train, row_mask)
+            low = res()(low, train, row_mask)
         if self.n > 1:
-            low = Hourglass(self.n - 1, self.n_modules, self.features, self.norm, self.dtype)(
-                low, train, row_mask
-            )
+            low = Hourglass(self.n - 1, self.n_modules, self.features, self.norm,
+                            self.dtype, self.conv_cls)(low, train, row_mask)
         else:
             for _ in range(self.n_modules):
-                low = Residual(self.features, self.norm, self.dtype)(low, train, row_mask)
+                low = res()(low, train, row_mask)
         for _ in range(self.n_modules):
-            low = Residual(self.features, self.norm, self.dtype)(low, train, row_mask)
+            low = res()(low, train, row_mask)
         return up1 + upsample2x(low)
 
 
@@ -183,6 +185,7 @@ class HourglassNet(nn.Module):
     depth: int = 4
     norm: str = "batch"
     dtype: Dtype = jnp.float32
+    conv_cls: Any = nn.Conv
 
     @nn.compact
     def __call__(
@@ -194,37 +197,38 @@ class HourglassNet(nn.Module):
         of the prior-keypoint channels — see `models/pkpnet.py`).
         `row_mask`: [N] real-row validity for masked BatchNorm statistics."""
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, dtype=self.dtype)(x)
+        x = self.conv_cls(64, (7, 7), strides=(2, 2), padding=3, dtype=self.dtype)(x)
         x = Norm(self.norm)(x, train, row_mask)
         x = nn.relu(x)
-        x = Residual(128, self.norm, self.dtype)(x, train, row_mask)
+        x = Residual(128, self.norm, self.dtype, self.conv_cls)(x, train, row_mask)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = Residual(128, self.norm, self.dtype)(x, train, row_mask)
-        x = Residual(self.features, self.norm, self.dtype)(x, train, row_mask)
+        x = Residual(128, self.norm, self.dtype, self.conv_cls)(x, train, row_mask)
+        x = Residual(self.features, self.norm, self.dtype, self.conv_cls)(x, train, row_mask)
         if extra is not None:
-            x = x + nn.Conv(self.features, (1, 1), dtype=self.dtype)(
+            x = x + self.conv_cls(self.features, (1, 1), dtype=self.dtype)(
                 extra.astype(self.dtype)
             )
 
         outs = []
         for i in range(self.n_stack):
-            hg = Hourglass(self.depth, self.n_modules, self.features, self.norm, self.dtype)(
-                x, train, row_mask
-            )
+            hg = Hourglass(self.depth, self.n_modules, self.features, self.norm,
+                           self.dtype, self.conv_cls)(x, train, row_mask)
             ll = hg
             for _ in range(self.n_modules):
-                ll = Residual(self.features, self.norm, self.dtype)(ll, train, row_mask)
-            ll = nn.Conv(self.features, (1, 1), dtype=self.dtype)(ll)
+                ll = Residual(self.features, self.norm, self.dtype, self.conv_cls)(
+                    ll, train, row_mask)
+            ll = self.conv_cls(self.features, (1, 1), dtype=self.dtype)(ll)
             ll = Norm(self.norm)(ll, train, row_mask)
             ll = nn.relu(ll)
-            # Heatmap logits head in f32 for a stable softmax readout.
+            # Heatmap logits head in f32 for a stable softmax readout
+            # (kept un-quantized — accuracy-critical and tiny).
             tmp_out = nn.Conv(self.num_output, (1, 1), dtype=jnp.float32)(
                 ll.astype(jnp.float32)
             )
             outs.append(tmp_out)
             if i < self.n_stack - 1:
-                ll_ = nn.Conv(self.features, (1, 1), dtype=self.dtype)(ll)
-                tmp_out_ = nn.Conv(self.features, (1, 1), dtype=self.dtype)(
+                ll_ = self.conv_cls(self.features, (1, 1), dtype=self.dtype)(ll)
+                tmp_out_ = self.conv_cls(self.features, (1, 1), dtype=self.dtype)(
                     tmp_out.astype(self.dtype)
                 )
                 x = x + ll_ + tmp_out_

@@ -61,6 +61,7 @@ class PkpNet(nn.Module):
     features: int = 256
     norm: str = "batch"
     prior_mode: str = "post_stem"  # "post_stem" (TPU-first) | "concat" (reference)
+    quant: str = "off"  # "off" | "calib" | "int8" (see models/quant.py)
     dtype: Dtype = jnp.float32
 
     def prior_hw(self, input_hw: tuple[int, int]) -> tuple[int, int]:
@@ -81,6 +82,15 @@ class PkpNet(nn.Module):
         from BatchNorm training statistics."""
         n, h, w, c = images_roi.shape
         assert c == 3, f"expected RGB ROI batch, got {images_roi.shape}"
+        if self.quant == "off":
+            conv_cls = nn.Conv
+        else:
+            from functools import partial
+
+            from .quant import QuantConv
+
+            assert not train, "quantized modes are inference-only"
+            conv_cls = partial(QuantConv, mode=self.quant)
         backbone = HourglassNet(
             in_features=3 + (self.num_kp if self.prior_mode == "concat" else 0),
             num_output=self.num_kp,
@@ -89,6 +99,7 @@ class PkpNet(nn.Module):
             features=self.features,
             norm=self.norm,
             dtype=self.dtype,
+            conv_cls=conv_cls,
         )
         if self.prior_mode == "concat":
             if prior_kp is None:
