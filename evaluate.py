@@ -69,15 +69,32 @@ class Evaluator:
                 import jax.numpy as jnp
 
                 from suo_slam_tpu.models import PkpNet
-                from suo_slam_tpu.train.checkpoint import load_model_only
 
-                net = PkpNet(
-                    calc_cov=not no_network_cov, norm=norm,
-                    dtype=jnp.bfloat16 if bf16 else jnp.float32,
-                )
-                dummy = jnp.zeros((1, 256, 256, 3))
-                template = net.init(jax.random.PRNGKey(0), dummy)
-                params, self.model_epoch, _ = load_model_only(chkpt_path, template)
+                if chkpt_path.endswith((".pth.tar", ".pth")):
+                    # reference torch checkpoint: layer-for-layer conversion
+                    # (see suo_slam_tpu/train/torch_convert.py)
+                    from suo_slam_tpu.train.torch_convert import (
+                        load_torch_checkpoint,
+                    )
+
+                    net = PkpNet(
+                        calc_cov=not no_network_cov, norm="batch",
+                        prior_mode="concat", transpose_heatmaps=True,
+                        dtype=jnp.bfloat16 if bf16 else jnp.float32,
+                    )
+                    params, self.model_epoch, _ = load_torch_checkpoint(chkpt_path)
+                else:
+                    from suo_slam_tpu.train.checkpoint import load_model_only
+
+                    net = PkpNet(
+                        calc_cov=not no_network_cov, norm=norm,
+                        dtype=jnp.bfloat16 if bf16 else jnp.float32,
+                    )
+                    dummy = jnp.zeros((1, 256, 256, 3))
+                    template = net.init(jax.random.PRNGKey(0), dummy)
+                    params, self.model_epoch, _ = load_model_only(
+                        chkpt_path, template
+                    )
             cfg = SlamConfig(
                 sfm_mode=nviews > 1,
                 single_view_mode=nviews == 1,

@@ -62,6 +62,10 @@ class PkpNet(nn.Module):
     norm: str = "batch"
     prior_mode: str = "post_stem"  # "post_stem" (TPU-first) | "concat" (reference)
     quant: str = "off"  # "off" | "calib" | "int8" (see models/quant.py)
+    transpose_heatmaps: bool = False  # for torch-converted checkpoints: the
+    # reference's soft-argmax meshgrid is transposed (u along heatmap ROWS,
+    # `lib/models/pkpnet.py:19-26`), so its trained heatmaps must be
+    # transposed before our natural-orientation readout
     dtype: Dtype = jnp.float32
 
     def prior_hw(self, input_hw: tuple[int, int]) -> tuple[int, int]:
@@ -117,6 +121,8 @@ class PkpNet(nn.Module):
             )
             outs = backbone(images_roi, train, extra=prior_kp, row_mask=row_mask)
         raw = outs[-1]  # [N, h/4, w/4, K] f32
+        if self.transpose_heatmaps:
+            raw = jnp.swapaxes(raw, 1, 2)
 
         prob = hm.spatial_softmax(raw)
         uv, cov = hm.soft_argmax(prob, calc_cov=self.calc_cov)
