@@ -44,6 +44,7 @@ from ..core import lie
 
 CHI2_THRESH_2DOF = 5.991  # 95% for 2 DoF (reference `object_slam.py:831`)
 HUBER_DELTA = math.sqrt(CHI2_THRESH_2DOF)
+CONVERGENCE_RTOL = 1e-6  # LM early exit: accepted step improves < rtol*cost
 DEFAULT_GLOBAL_ROUNDS = (10, 10, 40, 40)  # `object_slam.py:843-846`
 DEFAULT_TRACKING_ROUNDS = (10, 10, 10, 10)
 
@@ -294,7 +295,10 @@ def optimize(
         obj_T = jnp.where(accept, obj_T_new, obj_T)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
         lam = jnp.clip(lam, 1e-10, 1e6)
-        return (cam_T, obj_T, inl, lam)
+        rel_gain = jnp.where(
+            accept, (cost_old - cost_new) / jnp.maximum(cost_old, 1e-30), jnp.inf
+        )
+        return (cam_T, obj_T, inl, lam), rel_gain
 
     def reclassify(cam_T, obj_T, _valid=valid):
         _, chi2 = _edge_chi2(
@@ -313,9 +317,26 @@ def optimize(
 
         def run_round(args):
             cam_T, obj_T, inl, lam = args
+
+            # Up to iters_per_round[rnd] LM iterations with convergence early
+            # exit — g2o's optimize(n) likewise terminates on chi2
+            # stagnation, the reference's [10,10,40,40] are maxima.
+            def cond(carry):
+                state, it, done = carry
+                return (~done) & (it < iters_per_round[rnd])
+
+            def body(carry):
+                state, it, done = carry
+                state, rel_gain = lm_iteration(state, use_huber)
+                lam_now = state[3]
+                done = ((rel_gain < CONVERGENCE_RTOL) & jnp.isfinite(rel_gain)) | (
+                    lam_now >= 1e6
+                )
+                return state, it + 1, done
+
             state = (cam_T, obj_T, inl, lam)
-            state = jax.lax.fori_loop(
-                0, iters_per_round[rnd], lambda _, s: lm_iteration(s, use_huber), state
+            state, _, _ = jax.lax.while_loop(
+                cond, body, (state, jnp.asarray(0), jnp.asarray(False))
             )
             cam_T, obj_T, inl, lam = state
             # project rotations back onto SO(3) once per round
