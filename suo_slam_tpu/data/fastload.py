@@ -165,49 +165,84 @@ class CacheReader:
 
 
 class CacheLoader:
-    """Shuffling batch loader: native image gather + python label math."""
+    """Shuffling batch loader: native image gather + python label math.
 
-    def __init__(self, dataset, cache_path: str, batch_size: int,
+    Accepts one dataset + cache path, or lists of each — multiple splits are
+    shuffled into a single global index (like the reference's ConcatDataset,
+    `train.py:313-317`), so batches mix samples across splits.
+    """
+
+    def __init__(self, dataset, cache_path, batch_size: int,
                  truncate_obj: int | None = None, seed: int = 0,
                  n_threads: int = 8):
-        if not os.path.exists(cache_path):
-            print(f"Packing frame cache {cache_path} ...")
-            pack_cache(dataset, cache_path)
-        self.dataset = dataset
-        self.reader = CacheReader(cache_path)
-        assert self.reader.n == len(dataset.view_index), (
-            "Cache/dataset mismatch — repack the cache"
-        )
+        datasets = dataset if isinstance(dataset, (list, tuple)) else [dataset]
+        paths = cache_path if isinstance(cache_path, (list, tuple)) else [cache_path]
+        assert len(datasets) == len(paths)
+        self.datasets = list(datasets)
+        self.readers = []
+        for ds, path in zip(self.datasets, paths):
+            if not os.path.exists(path):
+                print(f"Packing frame cache {path} ...")
+                pack_cache(ds, path)
+            r = CacheReader(path)
+            assert r.n == len(ds.view_index), (
+                f"Cache/dataset mismatch for {path} — repack the cache"
+            )
+            self.readers.append(r)
+        self.counts = np.asarray([r.n for r in self.readers])
+        self.offsets = np.concatenate([[0], np.cumsum(self.counts)])
+        self.total = int(self.counts.sum())
         self.batch_size = batch_size
         self.truncate_obj = truncate_obj
         self.rng = np.random.default_rng(seed)
         self.n_threads = n_threads
 
+    @property
+    def reader(self):  # single-split convenience
+        assert len(self.readers) == 1
+        return self.readers[0]
+
     def __len__(self):
-        return max(1, self.reader.n // self.batch_size)
+        return max(1, self.total // self.batch_size)
+
+    def _gather(self, global_idx):
+        """Gather a mixed-source batch, preserving input order."""
+        src = np.searchsorted(self.offsets, global_idx, side="right") - 1
+        out = [None] * len(global_idx)
+        for s in np.unique(src):
+            sel = np.nonzero(src == s)[0]
+            local = global_idx[sel] - self.offsets[s]
+            ids, imgs, depths = self.readers[s].gather(local, self.n_threads)
+            for j, k in enumerate(sel):
+                out[k] = (int(s), ids[j], imgs[j],
+                          depths[j] if depths is not None else None)
+        return out
+
+    def _prefetch(self, global_idx):
+        src = np.searchsorted(self.offsets, global_idx, side="right") - 1
+        for s in np.unique(src):
+            local = global_idx[src == s] - self.offsets[s]
+            self.readers[s].prefetch(local)
 
     def epoch(self, shuffle: bool = True):
         from .bop import collate
 
-        order = np.arange(self.reader.n)
+        order = np.arange(self.total)
         if shuffle:
             self.rng.shuffle(order)
         nb = len(self)
         for b in range(nb):
             idx = order[b * self.batch_size : (b + 1) * self.batch_size]
             if b + 1 < nb:  # overlap next batch's page-in with this one's math
-                self.reader.prefetch(order[(b + 1) * self.batch_size :
-                                           (b + 2) * self.batch_size])
-            ids, imgs, depths = self.reader.gather(idx, self.n_threads)
+                self._prefetch(order[(b + 1) * self.batch_size :
+                                     (b + 2) * self.batch_size])
             samples = []
-            for k in range(len(idx)):
-                scene_id, view_id = int(ids[k, 0]), int(ids[k, 1])
-                obj_ids = self.dataset.obj_ids(scene_id, view_id)
+            for s, ids, img, depth in self._gather(idx):
+                scene_id, view_id = int(ids[0]), int(ids[1])
+                ds = self.datasets[s]
                 samples.append(
-                    self.dataset.get_raw(
-                        scene_id, view_id, obj_ids, img=imgs[k],
-                        depth=depths[k] if depths is not None else None,
-                    )
+                    ds.get_raw(scene_id, view_id, ds.obj_ids(scene_id, view_id),
+                               img=img, depth=depth)
                 )
             yield collate(samples, truncate_obj=self.truncate_obj,
                           seed=int(self.rng.integers(2**31)))

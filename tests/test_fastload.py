@@ -90,6 +90,27 @@ def test_cache_loader_batches_match_python_path(dataset, tmp_path):
     np.testing.assert_allclose(b["images"][0], direct["img"], atol=1e-6)
 
 
+def test_multi_split_cache_loader(bop_root, tmp_path):
+    """Batches mix samples from multiple splits like ConcatDataset."""
+    from suo_slam_tpu.data.bop import BopDataset
+    from suo_slam_tpu.data.fastload import CacheLoader
+
+    kwargs = dict(kp_config_root=os.path.join(bop_root, "kp_configs"), seed=0)
+    ds_a = BopDataset(bop_root, "test", **kwargs)
+    ds_b = BopDataset(bop_root, "train_synt", no_aug=True, **kwargs)
+    loader = CacheLoader(
+        [ds_a, ds_b],
+        [str(tmp_path / "a.suocache"), str(tmp_path / "b.suocache")],
+        batch_size=3, seed=5,
+    )
+    assert loader.total == len(ds_a.view_index) + len(ds_b.view_index)
+    batches = list(loader.epoch())
+    assert len(batches) == loader.total // 3
+    for b in batches:
+        assert b["images"].shape[0] == 3
+        assert b["obj_mask"].any()
+
+
 def test_train_cli_with_cache(bop_root, tmp_path):
     env = os.environ.copy()
     env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO, "SUO_TINY_NET": "1"})

@@ -199,22 +199,19 @@ def main():
         json.dump(vars(args), f, indent=2)
 
     datasets = build_datasets(args)
-    if getattr(args, "use_cache", False) and len(datasets) == 1:
+    if getattr(args, "use_cache", False):
         from suo_slam_tpu.data.fastload import CacheLoader
 
-        cache_path = os.path.join(
-            args.data_root, f"{datasets[0].split}.suocache"
-        )
+        paths = [
+            os.path.join(args.data_root, f"{ds.split}.suocache") for ds in datasets
+        ]
         loader = CacheLoader(
-            datasets[0], cache_path, args.batch_size, args.truncate_obj,
+            datasets, paths, args.batch_size, args.truncate_obj,
             n_threads=args.workers,
         )
-        print(f"Native cache loader: {loader.reader.n} frames, "
-              f"{len(loader)} steps/epoch")
+        print(f"Native cache loader: {loader.total} frames "
+              f"({len(datasets)} splits), {len(loader)} steps/epoch")
     else:
-        if getattr(args, "use_cache", False):
-            print("NOTE: --use_cache currently supports single-split runs; "
-                  "falling back to the python loader")
         loader = ConcatLoader(datasets, args.batch_size, args.truncate_obj)
         print(f"Training on {loader.total} frames, {len(loader)} steps/epoch")
 
