@@ -80,6 +80,11 @@ class SlamConfig:
     manual_kp_std: float = 0.005
     opt_init_with_outliers: bool = False
     gt_kp_noise_std: float = 0.01  # `object_slam.py:1131`
+    # sliding window: if set, global BA only optimizes the camera poses of
+    # the most recent N views (older views stay as fixed constraints on the
+    # objects). The reference optimizes every view forever
+    # (`object_slam.py:737-743`); this bounds per-BA cost on long sequences.
+    max_active_views: int | None = None
     # capacities (power-of-2 growth)
     view_capacity: int = 16
     obj_capacity: int = 8
@@ -628,6 +633,11 @@ class ObjectSlam:
         else:
             cam_sel = self.cam_active
 
+        cam_frozen = np.zeros((self.V,), bool)
+        if not curr_only and c.max_active_views is not None:
+            for view_id_old in self.view_ids[: -c.max_active_views]:
+                cam_frozen[self.view_slot[view_id_old]] = True
+
         problem = ba.BAProblem(
             cam_T=jnp.asarray(self.cam_T),
             obj_T=jnp.asarray(self.obj_T),
@@ -639,6 +649,7 @@ class ObjectSlam:
             inliers=jnp.asarray(self.inliers),
             cam_active=jnp.asarray(cam_sel & self.cam_active),
             obj_active=jnp.asarray(self.obj_active),
+            cam_frozen=jnp.asarray(cam_frozen),
         )
         rounds = (
             (10, 10, 40, 40)

@@ -65,6 +65,10 @@ class BAProblem(NamedTuple):
     inliers: jax.Array    # [V, O, K] bool current inlier classification
     cam_active: jax.Array  # [V] bool view slot occupied
     obj_active: jax.Array  # [O] bool object slot occupied
+    cam_frozen: jax.Array | None = None  # [V] bool: pose not optimized
+    # (sliding-window mode; the reference optimizes every view forever,
+    # `object_slam.py:737-743` — freezing old cameras bounds global-BA cost
+    # on unbounded sequences while their edges still constrain the objects)
 
 
 class BAResult(NamedTuple):
@@ -197,6 +201,11 @@ def optimize(
     V, O, K = problem.valid.shape
     act_vo = problem.cam_active[:, None] & problem.obj_active[None, :]
     valid = problem.valid & act_vo[..., None]
+    cam_frozen = (
+        problem.cam_frozen
+        if problem.cam_frozen is not None
+        else jnp.zeros((V,), bool)
+    )
 
     # ---- initial classification (reference `object_slam.py:849-866`) ----
     if init_with_outliers:
@@ -219,7 +228,7 @@ def optimize(
             cam_free = cam_in_graph & (cam_edges >= 3)  # `object_slam.py:730-731`
             obj_free = jnp.zeros_like(obj_in_graph)
         else:
-            cam_free = cam_in_graph
+            cam_free = cam_in_graph & ~cam_frozen
             if fix_first_cam:
                 # fix the first active camera as the gauge
                 first = jnp.argmax(cam_in_graph)
