@@ -257,14 +257,17 @@ def optimize(
         w = w_edge * jnp.where(use_huber, w_h, 1.0)
         Wi = problem.info * w[..., None, None]  # [V,O,K,2,2]
 
-        JW_cam = jnp.einsum("vokai,vokab->vokbi", J_cam, Wi)  # W J_cam -> [V,O,K,2,6]
-        JW_obj = jnp.einsum("vokai,vokab->vokbi", J_obj, Wi)
-        Hcc = jnp.einsum("vokai,vokaj->vij", JW_cam, J_cam)   # [V,6,6]
-        Hoo = jnp.einsum("vokai,vokaj->oij", JW_obj, J_obj)   # [O,6,6]
-        Hco = jnp.einsum("vokai,vokaj->voij", JW_cam, J_obj)  # [V,O,6,6]
-        # gradient of 0.5 r^T W r wrt states; residual jac is J so g = J^T W r
-        gc = jnp.einsum("vokai,voka->vi", JW_cam, r)
-        go = jnp.einsum("vokai,voka->oi", JW_obj, r)
+        # one [2, 12] Jacobian block per edge -> single H/g contraction,
+        # sliced into the camera/object blocks afterwards
+        J = jnp.concatenate([J_cam, J_obj], axis=-1)  # [V,O,K,2,12]
+        JW = jnp.einsum("vokai,vokab->vokbi", J, Wi)  # [V,O,K,2,12]
+        Hvo = jnp.einsum("vokai,vokaj->voij", JW, J)  # [V,O,12,12]
+        gvo = jnp.einsum("vokai,voka->voi", JW, r)    # [V,O,12]
+        Hcc = jnp.sum(Hvo[..., :6, :6], axis=1)       # [V,6,6]
+        Hoo = jnp.sum(Hvo[..., 6:, 6:], axis=0)       # [O,6,6]
+        Hco = Hvo[..., :6, 6:]                        # [V,O,6,6]
+        gc = jnp.sum(gvo[..., :6], axis=1)
+        go = jnp.sum(gvo[..., 6:], axis=0)
 
         D = 6 * (V + O)
         H = jnp.zeros((D, D), dtype)
