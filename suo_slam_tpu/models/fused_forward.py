@@ -26,8 +26,6 @@ quant="off".
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -26,7 +26,6 @@ starting point for a revisit with an [H, W]-native layout and
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

@@ -24,13 +24,12 @@ refinement of nothing — optimize() runs with one view).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import lie
 from ..kp import config as kp_config
 from ..solvers import ba
 from . import kernels

@@ -14,7 +14,6 @@ MLE/variance/BCE losses with annealing, Adam update.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax

@@ -44,8 +44,7 @@ def main():
     T_gt = ds.get_obj_pose(args.scene_id, args.view_id, args.obj_id)
     T_best, i_best = ds.pick_symmetry_transform(args.obj_id - 1, T_gt)
     syms = ds.symmetries[args.obj_id - 1]
-    img = (255 * ds.read_img(args.scene_id, args.view_id)).astype(np.uint8) \
-        if False else ds.read_img(args.scene_id, args.view_id)
+    img = ds.read_img(args.scene_id, args.view_id)
     hw = img.shape[:2]
 
     step = max(1, len(syms) // args.max_syms)
