@@ -171,3 +171,17 @@ def test_bbox_noise_det_type(bop_root):
     b0 = ds0[0]["bboxes"]
     b1 = ds1[0]["bboxes"]
     assert not np.allclose(b0, b1)
+
+
+def test_map_by_obj_training_iteration(bop_root):
+    """map_by='obj' (per-object samples, the T-LESS single-object training
+    mode) and map_by='obj_<id>' feed the training collate correctly."""
+    ds = _make_ds(bop_root, map_by="obj")
+    s = ds[5]
+    assert s["bboxes"].shape[0] == 1
+    batch = collate([ds[0], ds[4], ds[8]])
+    assert batch["boxes"].shape == (3, 1, 4)
+    assert batch["obj_mask"].all()
+    # all three synthetic objects appear across per-object samples
+    ids = {int(ds[i]["obj_ids"][0]) for i in range(len(ds))}
+    assert ids == {1, 2, 3}
