@@ -213,3 +213,48 @@ def test_reset_clears_state():
     assert not engine.obj_active.any()
     run_scene(engine, n_views=3)
     assert engine.num_views_processed() == 3
+
+
+def test_object_recovery_after_corrupt_start():
+    """An object whose first detections are garbage must not poison the map:
+    once clean detections arrive it ends with an accurate pose (reinit /
+    late-init paths, `object_slam.py:581-591,595-697`)."""
+    engine = _make_engine(global_opt_every=2)
+    K, hw, kp, T_obj, cams = make_scene(n_obj=3, n_views=8, seed=9)
+    rng = np.random.default_rng(2)
+    for i, T_GtoC in enumerate(cams):
+        obj_ids, bboxes, mks, mms, kms, uvs = project_frame(K, hw, kp, T_obj, T_GtoC)
+        if i <= 4:
+            # corrupt EVERY keypoint of object 2 for the first five views
+            j = list(obj_ids).index(2)
+            uvs[j] = rng.uniform(-0.95, 0.95, uvs[j].shape)
+        engine.process_view(i, IMG, K, obj_ids, bboxes, mks, mms, kms, uv_gt=uvs)
+    res = engine.collect_results(final=True)
+    s2 = engine.obj_slot[2]
+    assert engine.obj_active[s2], "object was not (re)initialized after clean views"
+    T = res[7]["poses"][2]["T_OtoC"]
+    T_gt = cams[7] @ T_obj[2]
+    assert np.linalg.norm(T[:3, 3] - T_gt[:3, 3]) < 20.0
+    # the clean objects were never disturbed
+    for obj_id in (1, 3):
+        T = res[7]["poses"][obj_id]["T_OtoC"]
+        T_gt = cams[7] @ T_obj[obj_id]
+        assert np.linalg.norm(T[:3, 3] - T_gt[:3, 3]) < 12.0
+
+
+def test_object_removal_on_lost_inliers():
+    """Direct check of the min-inlier removal (`object_slam.py:913-930`):
+    an active object whose measurements are all outliers is dropped at the
+    next global BA."""
+    engine = _make_engine()
+    K, hw, kp, T_obj, cams = make_scene(n_obj=2, n_views=3, seed=11)
+    for i, T_GtoC in enumerate(cams):
+        obj_ids, bboxes, mks, mms, kms, uvs = project_frame(K, hw, kp, T_obj, T_GtoC)
+        engine.process_view(i, IMG, K, obj_ids, bboxes, mks, mms, kms, uv_gt=uvs)
+    s = engine.obj_slot[1]
+    assert engine.obj_active[s]
+    # teleport the object estimate far away: every edge becomes chi2-outlier
+    engine.obj_T[s][:3, 3] += np.asarray([500.0, 500.0, 500.0], np.float32)
+    engine.obj_num_dets[1] = 5  # threshold becomes 6 inliers
+    engine.optimize()  # global BA reclassifies, then removal check runs
+    assert not engine.obj_active[s], "outlier-only object was not removed"
