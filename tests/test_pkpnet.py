@@ -116,3 +116,34 @@ def test_mle_loss_matches_direct_computation():
     logdet_ref = jnp.mean(jnp.log(jnp.linalg.det(cov_l)))
     np.testing.assert_allclose(float(maha), float(maha_ref), rtol=1e-8)
     np.testing.assert_allclose(float(logdet), float(logdet_ref), rtol=1e-8)
+
+
+def test_groupnorm_option_forward_and_train():
+    """norm='group' (the batch-independent option) still trains/infers."""
+    net = PkpNet(norm="group", **TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (2, 64, 64, 3))
+    variables = net.init(jax.random.PRNGKey(0), x)
+    assert "batch_stats" not in variables
+    out = net.apply(variables, x)
+    assert out.uv.shape == (2, 41, 2)
+    # train step with empty batch_stats
+    import optax
+
+    from suo_slam_tpu.train import harness
+
+    opt = optax.sgd(1e-3)
+    state = harness.init_state(net, jax.random.PRNGKey(0), opt, input_hw=(64, 64))
+    assert state.batch_stats == {}
+    b, o, k = 1, 2, 41
+    batch = harness.Batch(
+        images=jax.random.uniform(jax.random.PRNGKey(6), (b, 80, 80, 3)),
+        boxes=jnp.tile(jnp.asarray([4.0, 4.0, 68.0, 68.0]), (b, o, 1)),
+        obj_mask=jnp.ones((b, o), bool),
+        prior_uv=jnp.zeros((b, o, k, 2)),
+        prior_mask=jnp.zeros((b, o, k), bool),
+        uv_gt=jnp.zeros((b, o, k, 2)),
+        kp_mask=jnp.ones((b, o, k), bool),
+    )
+    step = jax.jit(harness.make_train_step(net, opt, input_hw=(64, 64)))
+    state, m = step(state, batch, jnp.asarray(1.0))
+    assert np.isfinite(float(m["loss"]))
