@@ -323,7 +323,14 @@ def optimize(
     n_rounds = len(iters_per_round)
     half = max(1, n_rounds // 2)
     for rnd in range(n_rounds):
-        use_huber = rnd <= half  # kernel dropped after round len//2 (`:894-896`)
+        # Reference (`lib/object_slam.py:892-896`) calls
+        # `set_robust_kernel(None)` inside the reclassification loop that runs
+        # AFTER `optimizer.optimize(its[it])` of round `it == max(1, len//2)`.
+        # So rounds 0..max(1,len//2) optimize WITH the Huber kernel and later
+        # rounds run kernel-free: for [10,10,40,40] that is huber on rounds
+        # 0,1,2 and off on round 3. Pinned by
+        # tests/test_ba.py::test_huber_schedule_matches_reference.
+        use_huber = rnd <= half
         num_good = jnp.sum(inl)
         enough = num_good >= 4  # `object_slam.py:869`
 

@@ -254,3 +254,28 @@ def test_ba_empty_problem_is_noop():
     res = ba.optimize(prob)
     np.testing.assert_allclose(np.asarray(res.cam_T), np.asarray(prob.cam_T), atol=1e-12)
     assert int(res.num_inliers) == 0
+
+
+def _reference_huber_rounds(its):
+    """Simulate the reference's kernel-drop placement (`lib/object_slam.py:866-896`).
+
+    `set_robust_kernel(None)` runs in the reclassification loop AFTER
+    `optimizer.optimize(its[it])` of round `it == max(1, len(its)//2)`, so the
+    kernel is active DURING rounds 0..max(1, len//2) and inactive after.
+    Returns the per-round kernel-active flags.
+    """
+    kernel_on = True
+    flags = []
+    for it in range(len(its)):
+        flags.append(kernel_on)  # state during this round's optimize()
+        if it == max(1, len(its) // 2):
+            kernel_on = False
+    return flags
+
+
+def test_huber_schedule_matches_reference():
+    # Our rule in ba.optimize: use_huber = rnd <= max(1, n_rounds // 2).
+    for n in (1, 2, 3, 4, 6, 8):
+        ours = [rnd <= max(1, n // 2) for rnd in range(n)]
+        ref = _reference_huber_rounds([10] * n)
+        assert ours == ref, f"n_rounds={n}: ours={ours} ref={ref}"
