@@ -26,6 +26,21 @@ CORRECT_TH = 0.3
 VISIB_GT_MIN = 0.1
 
 
+def depth_to_dist(depth: np.ndarray, K: np.ndarray) -> np.ndarray:
+    """Convert a z-depth image to a euclidean distance-from-camera image.
+
+    The BOP protocol runs both the visibility test and the tau comparison on
+    DISTANCE images, not raw z-depth
+    (`bop_toolkit_lib/pose_error.py:47-50` via
+    `misc.depth_im_to_dist_im_fast`, integer pixel coordinates).
+    """
+    h, w = depth.shape
+    xs = (np.arange(w, dtype=np.float64) - K[0, 2]) / np.float64(K[0, 0])
+    ys = (np.arange(h, dtype=np.float64) - K[1, 2]) / np.float64(K[1, 1])
+    scale = np.sqrt(xs[None, :] ** 2 + ys[:, None] ** 2 + 1.0)
+    return depth.astype(np.float64) * scale
+
+
 def estimate_visib_mask(d_test: np.ndarray, d_model: np.ndarray, delta: float,
                         base: np.ndarray | None = None) -> np.ndarray:
     """Pixels where the rendered model is visible in the test depth image.
@@ -51,10 +66,15 @@ def vsd_error(
     delta: float = VSD_DELTA,
     tau: float = VSD_TAU,
 ) -> float:
-    """e_VSD for one estimate. Returns 1.0 when nothing is visible."""
+    """e_VSD for one estimate. Returns 1.0 when nothing is visible.
+
+    All three images are converted to distance images first, exactly like the
+    toolkit (`pose_error.py:47-50`); masks and the tau test run on distances.
+    """
     hw = d_test.shape
-    d_est = render.render_depth(verts, faces, K, T_est, hw)
-    d_gt = render.render_depth(verts, faces, K, T_gt, hw)
+    d_est = depth_to_dist(render.render_depth(verts, faces, K, T_est, hw), K)
+    d_gt = depth_to_dist(render.render_depth(verts, faces, K, T_gt, hw), K)
+    d_test = depth_to_dist(d_test, K)
     v_gt = estimate_visib_mask(d_test, d_gt, delta)
     v_est = estimate_visib_mask(d_test, d_est, delta, base=v_gt)
     union = v_gt | v_est

@@ -18,3 +18,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent jit cache: most suite time is XLA:CPU compiles of the same tiny
+# nets/solvers; caching them makes repeat runs (the common case while
+# developing) far faster. Safe to delete the dir at any time.
+jax.config.update("jax_compilation_cache_dir", "/tmp/suo_slam_tpu_jit_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

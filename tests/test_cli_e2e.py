@@ -11,6 +11,8 @@ import pytest
 
 from tests.helpers.synthetic_bop import write_synthetic_bop
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -111,6 +111,7 @@ def test_multi_split_cache_loader(bop_root, tmp_path):
         assert b["obj_mask"].any()
 
 
+@pytest.mark.slow
 def test_train_cli_with_cache(bop_root, tmp_path):
     env = os.environ.copy()
     env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO, "SUO_TINY_NET": "1"})

@@ -11,6 +11,7 @@ from suo_slam_tpu.models.fused_forward import make_fused_apply
 
 
 @pytest.mark.parametrize("n_modules", [1, 2])
+@pytest.mark.slow
 def test_fused_forward_matches_apply(n_modules):
     # FUSE_MIN_ROWS=1024 means no pallas block triggers at 64x64 input
     # (heatmap res 16x16=256 rows), so this verifies the pure traversal.
@@ -29,6 +30,7 @@ def test_fused_forward_matches_apply(n_modules):
                                np.asarray(ref.kp_mask), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_forward_no_prior_matches():
     net = PkpNet(n_stack=1, n_modules=1, features=32)
     x = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3))

@@ -30,6 +30,7 @@ def _batch(b, hw=64, o=2, k=41, seed=0):
     )
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device():
     assert len(jax.devices()) >= 8, "conftest must set 8 virtual devices"
     mesh = data_parallel_mesh()
@@ -57,6 +58,7 @@ def test_sharded_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_inference_matches_local():
     mesh = data_parallel_mesh()
     net = PkpNet(**TINY)

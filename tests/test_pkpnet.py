@@ -7,6 +7,7 @@ import jax.numpy as jnp
 from suo_slam_tpu.models import PkpNet
 from suo_slam_tpu.models.hourglass import HourglassNet, upsample2x
 from suo_slam_tpu.train import losses
+import pytest
 
 TINY = dict(n_stack=2, n_modules=1, features=32)
 
@@ -68,6 +69,7 @@ def test_pkpnet_concat_prior_mode_matches_reference_wiring():
     assert not np.allclose(np.asarray(out0.uv), np.asarray(out1.uv))
 
 
+@pytest.mark.slow
 def test_pkpnet_bf16_compute_f32_readout():
     net = PkpNet(dtype=jnp.bfloat16, **TINY)
     x = jnp.zeros((1, 64, 64, 3))
@@ -80,6 +82,7 @@ def test_pkpnet_bf16_compute_f32_readout():
     assert leaf.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_loss_gradients_flow():
     net = PkpNet(**TINY)
     x = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 64, 3))
@@ -118,6 +121,7 @@ def test_mle_loss_matches_direct_computation():
     np.testing.assert_allclose(float(logdet), float(logdet_ref), rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_groupnorm_option_forward_and_train():
     """norm='group' (the batch-independent option) still trains/infers."""
     net = PkpNet(norm="group", **TINY)

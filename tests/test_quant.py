@@ -7,6 +7,7 @@ import jax.numpy as jnp
 
 from suo_slam_tpu.models import PkpNet
 from suo_slam_tpu.models.quant import calibrate
+import pytest
 
 TINY = dict(n_stack=2, n_modules=1, features=32)
 
@@ -31,6 +32,7 @@ def test_param_tree_matches_bf16_model():
     assert "quant" in v_q
 
 
+@pytest.mark.slow
 def test_int8_matches_bf16_on_random_weights():
     net_f = PkpNet(**TINY)
     net_c = PkpNet(quant="calib", **TINY)

@@ -102,6 +102,7 @@ def test_debug_saved_only_cli(bop_layout, tmp_path):
     assert "Saved detections result" in res.stdout
 
 
+@pytest.mark.slow
 def test_evaluate_with_saved_detections(bop_layout, tmp_path):
     """Full eval pipeline driven by saved detections + GT keypoints."""
     env = os.environ.copy()

@@ -125,6 +125,7 @@ def run_scene(engine, n_views=8, cam_pose=None, seed=0, n_obj=4):
     return K, kp, T_obj, cams
 
 
+@pytest.mark.slow
 def test_single_view_pose_recovery():
     engine = _make_engine(single_view_mode=True)
     K, hw, kp, T_obj, cams = make_scene(n_views=1)
@@ -140,6 +141,7 @@ def test_single_view_pose_recovery():
         assert np.linalg.norm(T[:3, 3] - T_gt[:3, 3]) < 12.0  # mm
 
 
+@pytest.mark.slow
 def test_full_slam_trajectory_and_objects():
     engine = _make_engine()
     K, kp, T_obj, cams = run_scene(engine, n_views=8)
@@ -159,6 +161,7 @@ def test_full_slam_trajectory_and_objects():
             assert np.linalg.norm(T[:3, 3] - T_gt[:3, 3]) < 12.0
 
 
+@pytest.mark.slow
 def test_slam_with_outlier_measurements():
     """Corrupt some keypoints badly; chi2 gating must keep poses accurate."""
     engine = _make_engine()
@@ -196,6 +199,7 @@ def test_gt_cam_pose_mode():
         assert np.linalg.norm(est[:3, 3] - T_GtoC_gt[:3, 3]) < 10.0
 
 
+@pytest.mark.slow
 def test_capacity_growth():
     engine = _make_engine(view_capacity=4, obj_capacity=4)
     run_scene(engine, n_views=8)

@@ -12,6 +12,7 @@ from suo_slam_tpu.slam import ObjectSlam, SlamConfig
 from tests.test_slam_engine import StubMeshDb, make_scene, project_frame
 
 
+@pytest.mark.slow
 def test_engine_with_random_network_runs_and_degrades_gracefully():
     net = PkpNet(n_stack=1, n_modules=1, features=16)
     variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
@@ -36,6 +37,7 @@ def test_engine_with_random_network_runs_and_degrades_gracefully():
     assert engine.all_time_num_views == 3
 
 
+@pytest.mark.slow
 def test_engine_symmetric_prior_feedback_path():
     """Force the prior path: give_all_prior + an object with a map pose."""
     net = PkpNet(n_stack=1, n_modules=1, features=16)

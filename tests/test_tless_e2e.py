@@ -34,6 +34,7 @@ def test_tless_indexing_with_targets(tless_root):
     assert len(ds.obj_ids(0, 0)) == 3
 
 
+@pytest.mark.slow
 def test_tless_single_view_eval_with_vsd(tless_root, tmp_path):
     env = os.environ.copy()
     env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO})
@@ -52,6 +53,7 @@ def test_tless_single_view_eval_with_vsd(tless_root, tmp_path):
     assert list(tmp_path.rglob("vsd_summary.txt"))
 
 
+@pytest.mark.slow
 def test_sfm_mode_nviews_3(tmp_path):
     """SfM mode (`--nviews 3`): per-frame multi-view problems on ycbv."""
     ds_root = tmp_path / "ycbv"

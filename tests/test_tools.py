@@ -126,6 +126,7 @@ def test_view_sym_choice_cli(bop_root, tmp_path):
     assert "Best symmetry index" in res.stdout
 
 
+@pytest.mark.slow
 def test_plot_cov_cli(bop_root, tmp_path):
     # train a 1-step tiny checkpoint first
     env = {"SUO_TINY_NET": "1"}

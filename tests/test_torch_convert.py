@@ -100,6 +100,7 @@ def test_transposed_readout_matches_reference_meshgrid(torch_backbone):
     np.testing.assert_allclose(float(uv[0, 0, 1]), -r(j0), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_evaluate_cli_with_torch_checkpoint(tmp_path):
     """Full eval flow from a reference-format .pth.tar: save a (random-init)
     full-size reference-named checkpoint, convert via `evaluate.py -c *.pth.tar`,
