@@ -365,7 +365,8 @@ class BopDataset:
 
         Returns a dict (all numpy):
           img [H, W, 3] f32 RGB in [0,1]; K [3,3]; bboxes [O,4] xyxy;
-          obj_ids [O]; poses [O,3,4] (symmetry-adjusted GT);
+          obj_ids [O]; poses [O,3,4] (raw GT, reference contract);
+          poses_sym [O,3,4] (symmetry-adjusted GT used for kp projection);
           K_kps [O,3,3] NDC-fixed K; kp_uvs [O,41,2]; kp_masks [O,41];
           model_kps [O,41,3]; kp_model_masks [O,41];
           prior_uvs [O,41,2]; has_prior [O].
@@ -437,6 +438,7 @@ class BopDataset:
         img, depth, bboxes, K = aug.apply_augs(self.augs, self.rng, img, depth, bboxes, K)
 
         poses = np.zeros((O, 3, 4), np.float32)
+        poses_sym = np.zeros((O, 3, 4), np.float32)
         K_kps = np.zeros((O, 3, 3), np.float32)
         kp_uvs = np.zeros((O, nk, 2), np.float32)
         kp_masks = np.zeros((O, nk), bool)
@@ -477,7 +479,11 @@ class BopDataset:
             in_bounds = np.all((uv_ndc >= -1) & (uv_ndc <= 1), axis=1)
 
             K_i = _fix_K_for_bbox_ndc_np(K, bboxes[i])
-            poses[i] = T4[:3, :].astype(np.float32)
+            # "poses" is the RAW GT pose — the reference stores it before the
+            # symmetry pick (`bop.py:615` "just the GT pose without any care
+            # for symmetry"); the picked pose ships as "poses_sym".
+            poses[i] = T_OtoC[:3, :].astype(np.float32)
+            poses_sym[i] = T4[:3, :].astype(np.float32)
             K_kps[i] = K_i.astype(np.float32)
             kp_uvs[i] = np.where(ch_mask[:, None], uv_ndc, 0.0).astype(np.float32)
             kp_masks[i] = ch_mask & depths_agree & in_bounds
@@ -503,6 +509,7 @@ class BopDataset:
             "obj_ids": np.asarray(obj_ids, np.int32),
             "bboxes": bboxes,
             "poses": poses,
+            "poses_sym": poses_sym,
             "K_kps": K_kps,
             "kp_uvs": kp_uvs,
             "kp_masks": kp_masks,

@@ -217,11 +217,13 @@ def write_synthetic_bop(
     # ---- kp config csv (box_like only, 3 objects) -------------------------
     cfg_dir = os.path.join(root, "kp_configs")
     os.makedirs(cfg_dir, exist_ok=True)
+    # exact reference CSV format (no spaces — the reference reads it with
+    # pandas and indexes columns by name, `kp_configs/ycbv_kp_config.csv:1`)
     with open(os.path.join(cfg_dir, f"{bop_dset}_kp_config.csv"), "w") as f:
-        f.write("# instance, class, has_grip, has_spout, has_brand_name, "
-                "has_nutrition_facts, has_bar_code\n")
+        f.write("# instance,class,has_grip,has_spout,has_brand_name,"
+                "has_nutrition_facts,has_bar_code\n")
         for obj_id in OBJ_HALF_EXTENTS:
-            f.write(f"synth_obj_{obj_id}, box_like, 0, 0, 0, 0, 0\n")
+            f.write(f"synth_obj_{obj_id},box_like,0,0,0,0,0\n")
 
     # ---- scenes -----------------------------------------------------------
     keyframe_lines = []

@@ -408,3 +408,166 @@ def test_vsd_error_matches_bop_toolkit():
         ours = our_vsd.vsd_error(d_test, verts, faces, K, T_est, T_gt, delta, tau)
         np.testing.assert_allclose(ours, ref_errs[0], atol=1e-9,
                                    err_msg=f"trial {trial}")
+
+
+# ---------------------------------------------------------------------------
+# BopDataset.get_raw vs the reference loader on the same synthetic BOP tree
+# ---------------------------------------------------------------------------
+
+import os
+
+
+@pytest.fixture(scope="module")
+def parity_bop_root(tmp_path_factory):
+    from helpers.synthetic_bop import write_synthetic_bop
+
+    root = tmp_path_factory.mktemp("refparity_bop")
+    write_synthetic_bop(str(root), n_scenes=1, n_views=3, bop_dset="ycbv")
+    return str(root)
+
+
+def _ref_dataset(root, **kw):
+    """Reference BopDataset reads ./kp_configs/... relative to CWD."""
+    ref_bop = reference_oracle.load("lib.datasets.bop")
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        return ref_bop.BopDataset(root, "test", bop_dset="ycbv", **kw)
+    finally:
+        os.chdir(cwd)
+
+
+def _our_dataset(root, **kw):
+    from suo_slam_tpu.data.bop import BopDataset
+
+    return BopDataset(root, "test", bop_dset="ycbv",
+                      kp_config_root=os.path.join(root, "kp_configs"), **kw)
+
+
+def _t2n(x):
+    return x.detach().cpu().numpy() if hasattr(x, "detach") else np.asarray(x)
+
+
+class _ZeroRng:
+    """Deterministic stand-in for our loader's np.random.Generator."""
+
+    def normal(self, scale=1.0, size=None):
+        if size is None:
+            return np.zeros(np.shape(scale)) if np.ndim(scale) else 0.0
+        return np.zeros(size)
+
+    def random(self):
+        return 0.0
+
+    def integers(self, *a, **k):
+        return 0
+
+    def uniform(self, lo=0.0, hi=1.0, size=None):
+        return np.zeros(size) if size is not None else 0.0
+
+
+def _compare_deterministic_fields(ref, ours):
+    np.testing.assert_allclose(_t2n(ref["K"]), ours["K"], rtol=1e-6)
+    np.testing.assert_allclose(_t2n(ref["bboxes"]), ours["bboxes"], rtol=1e-6)
+    # reference img is CHW BGR in [0,1]; ours HWC RGB
+    ref_img = _t2n(ref["img"]).transpose(1, 2, 0)
+    np.testing.assert_allclose(ref_img, ours["img"][..., ::-1], atol=1e-6)
+    np.testing.assert_allclose(_t2n(ref["poses"]), ours["poses"], atol=1e-5)
+    np.testing.assert_allclose(_t2n(ref["K_kps"]), ours["K_kps"], rtol=1e-5)
+    np.testing.assert_allclose(_t2n(ref["kp_uvs"]), ours["kp_uvs"], atol=2e-5)
+    np.testing.assert_array_equal(_t2n(ref["kp_masks"]), ours["kp_masks"])
+    np.testing.assert_allclose(_t2n(ref["model_kps"]), ours["model_kps"], atol=1e-6)
+    np.testing.assert_array_equal(_t2n(ref["kp_model_masks"]), ours["kp_model_masks"])
+
+
+def test_get_raw_matches_reference_no_symmetry(parity_bop_root):
+    ref_ds = _ref_dataset(parity_bop_root, ignore_symmetry=True)
+    our_ds = _our_dataset(parity_bop_root, ignore_symmetry=True)
+    for view in range(3):
+        obj_ids = our_ds.obj_ids(0, view)
+        assert obj_ids == [k for k in ref_ds.data[0][view]["objects"]]
+        ref = ref_ds.get_raw(0, view, obj_ids)
+        ours = our_ds.get_raw(0, view, obj_ids, p_give_prior=0.0)
+        np.testing.assert_array_equal(_t2n(ref["obj_ids"]), ours["obj_ids"])
+        _compare_deterministic_fields(ref, ours)
+
+
+def test_get_raw_matches_reference_mask_occluded(parity_bop_root):
+    ref_ds = _ref_dataset(parity_bop_root, ignore_symmetry=True, mask_occluded=True)
+    our_ds = _our_dataset(parity_bop_root, ignore_symmetry=True, mask_occluded=True)
+    any_occluded = False
+    for view in range(3):
+        obj_ids = our_ds.obj_ids(0, view)
+        ref = ref_ds.get_raw(0, view, obj_ids)
+        ours = our_ds.get_raw(0, view, obj_ids, p_give_prior=0.0)
+        np.testing.assert_array_equal(_t2n(ref["kp_masks"]), ours["kp_masks"])
+        any_occluded |= bool(
+            (~_t2n(ref["kp_masks"]) & _t2n(ref["kp_model_masks"])).any()
+        )
+    assert any_occluded, "fixture should exercise the depth-occlusion gate"
+
+
+def test_get_raw_matches_reference_symmetry_pick(parity_bop_root, monkeypatch):
+    """Closest-symmetry GT selection (`pick_symmetry_transform`, random=False):
+    object 2 has a continuous z-symmetry discretized to 64 steps, object 3 a
+    discrete 180-deg flip. give_prior is forced False on both sides so the
+    pick is the deterministic closest-to-view-pose branch."""
+    ref_ds = _ref_dataset(parity_bop_root)
+    our_ds = _our_dataset(parity_bop_root)
+    # symmetry stacks must agree exactly first
+    for oi in range(3):
+        ref_syms = np.stack(ref_ds.symmetries["discrete"][oi])
+        our_syms = np.stack(our_ds.symmetries[oi])
+        np.testing.assert_allclose(our_syms, ref_syms, atol=1e-9,
+                                   err_msg=f"object {oi + 1} symmetry stack")
+
+    monkeypatch.setattr(np.random, "rand", lambda *a: np.float64(1.0))  # no prior
+    for view in range(3):
+        obj_ids = our_ds.obj_ids(0, view)
+        ref = ref_ds.get_raw(0, view, obj_ids)
+        ours = our_ds.get_raw(0, view, obj_ids, p_give_prior=0.0)
+        _compare_deterministic_fields(ref, ours)
+        assert not _t2n(ref["has_prior"]).any()
+        assert not ours["has_prior"].any()
+
+
+def test_get_raw_prior_matches_reference(parity_bop_root, monkeypatch):
+    """Prior generation with the perturbation zeroed on both sides:
+    prior_uvs must be the exact projection of the model kps through the
+    NDC-fixed K, and the rendered prior maps must agree up to the discrete
+    vs continuous Gaussian (same tolerance as the make_prior_kp_input test)."""
+    ref_ds = _ref_dataset(parity_bop_root, ignore_symmetry=True)
+    our_ds = _our_dataset(parity_bop_root, ignore_symmetry=True)
+    our_ds.rng = _ZeroRng()
+    monkeypatch.setattr(np.random, "rand", lambda *a: np.float64(0.0))  # prior on
+    real_normal = np.random.normal
+    monkeypatch.setattr(
+        np.random, "normal",
+        lambda *a, **k: np.zeros(k.get("size", ())) if ("size" in k or a) else 0.0,
+    )
+    try:
+        for view in range(2):
+            obj_ids = our_ds.obj_ids(0, view)
+            ref = ref_ds.get_raw(0, view, obj_ids)
+            ours = our_ds.get_raw(0, view, obj_ids, p_give_prior=1.0)
+            assert _t2n(ref["has_prior"]).all() and ours["has_prior"].all()
+            np.testing.assert_allclose(
+                _t2n(ref["prior_uvs"]), ours["prior_uvs"], atol=1e-4
+            )
+            # reference renders [O, 41, 256, 256] maps; ours renders on device
+            # from prior_uvs at the same resolution
+            prior_ref = _t2n(ref["priors"])
+            prior_ours = np.asarray(
+                hm.render_prior_heatmaps(
+                    jnp.asarray(ours["prior_uvs"]),
+                    jnp.asarray(ours["kp_model_masks"]),
+                    hw=(256, 256),
+                    sigma_px=hm.PRIOR_SIGMA_PX,
+                )
+            ).transpose(0, 3, 1, 2)
+            valid = _t2n(ref["kp_model_masks"])
+            np.testing.assert_allclose(
+                prior_ours[valid], prior_ref[valid], atol=0.03
+            )
+    finally:
+        np.random.normal = real_normal
