@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Trained-weights accuracy validation for the int8-resident inference path.
+
+Protocol (PTQ validation without BOP downloads — the sandbox has no real
+data): train the FULL-SIZE PkpNet (nStack=2, nModules=2, 256 feats, 256x256
+ROIs) to convergence on a synthetic BOP fixture, calibrate the int8 scales
+on a few train batches, then compare bf16 vs int8-resident inference on the
+held-out test split:
+
+  - keypoint uv MAE vs GT (NDC units) over valid keypoints,
+  - validity-head agreement (kp_mask thresholded at 0.3, reference gate
+    `lib/object_slam.py:1102`),
+  - PnP pose errors (rotation deg / translation mm) from each path's uv.
+
+Overfitting the tiny fixture is intentional: it produces SHARP heatmaps —
+the hardest case for quantized soft-argmax (a flat random-weight heatmap
+hides quantization error; a sharp one amplifies it).
+
+Usage: python benchmarks/int8_accuracy.py [--epochs 40] [--steps-only]
+Writes a one-line JSON verdict to stdout (and a readable table to stderr).
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--batch-frames", type=int, default=8)
+    ap.add_argument("--train-views", type=int, default=40)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from helpers.synthetic_bop import write_synthetic_bop
+    from suo_slam_tpu.data.bop import BopDataset
+    from suo_slam_tpu.models import PkpNet
+    from suo_slam_tpu.models import int8_forward as i8
+    from suo_slam_tpu.ops import roi as roi_ops
+    from suo_slam_tpu.solvers import pnp
+    from suo_slam_tpu.train import harness
+    from train import ConcatLoader, to_device_batch
+
+    root = tempfile.mkdtemp(prefix="int8acc_")
+    write_synthetic_bop(root, n_scenes=2, n_views=args.train_views,
+                        splits=("train_synt", "test"))
+    train_ds = BopDataset(root, "train_synt", bop_dset="ycbv", no_aug=True,
+                          kp_config_root=os.path.join(root, "kp_configs"),
+                          seed=args.seed)
+    test_ds = BopDataset(root, "test", bop_dset="ycbv", ignore_symmetry=True,
+                         kp_config_root=os.path.join(root, "kp_configs"),
+                         seed=args.seed)
+
+    import optax
+
+    net = PkpNet(dtype=jnp.bfloat16)
+    # Gradient clipping + decayed lr: on this tiny overfit set the MLE
+    # logdet term destabilizes plain Adam(1e-3) once the epoch-5 annealing
+    # ramps it in (covariance collapse); clipping keeps it convergent.
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adam(optax.cosine_decay_schedule(1e-3, args.epochs * 10, 0.05)),
+    )
+    state = harness.init_state(net, jax.random.PRNGKey(args.seed), optimizer)
+    step_fn = jax.jit(harness.make_train_step(net, optimizer), donate_argnums=(0,))
+    loader = ConcatLoader([train_ds], args.batch_frames, truncate_obj=8)
+    log(f"training full-size PkpNet on {loader.total} frames, "
+        f"{len(loader)} steps/epoch, {args.epochs} epochs "
+        f"on {jax.devices()[0].platform}")
+    for epoch in range(args.epochs):
+        losses = []
+        for np_batch in loader.epoch():
+            batch = to_device_batch(np_batch)
+            state, metrics = step_fn(state, batch, jnp.asarray(float(epoch)))
+            losses.append(metrics["loss"])
+        if epoch % 5 == 0 or epoch == args.epochs - 1:
+            log(f"  epoch {epoch:3d} loss {float(jnp.mean(jnp.stack(losses))):.4f}")
+
+    variables = harness.model_variables(state.params, state.batch_stats)
+
+    # ---- calibrate on train crops ----------------------------------------
+    calib_crops = []
+    for np_batch in loader.epoch(shuffle=False):
+        batch = to_device_batch(np_batch)
+        crops = roi_ops.roi_crop_batch(batch.images, batch.boxes,
+                                       batch.obj_mask, (256, 256))
+        flat = crops.reshape((-1,) + crops.shape[2:])
+        calib_crops.append(flat)
+        if len(calib_crops) >= 4:
+            break
+    scales = i8.calibrate(net, variables, calib_crops)
+    log(f"calibrated {len(scales)} quant points on "
+        f"{sum(c.shape[0] for c in calib_crops)} crops")
+
+    apply_bf16 = jax.jit(lambda v, x: net.apply(v, x))
+    apply_int8 = jax.jit(lambda v, s, x: i8.make_int8_apply(net)(v, s, x))
+
+    # ---- evaluate both paths on the test split ---------------------------
+    stats = {k: dict(uv_err=[], mask_agree=[], rot_deg=[], t_mm=[])
+             for k in ("bf16", "int8")}
+    for scene in test_ds.scene_ids():
+        for view in test_ds.view_ids(scene):
+            obj_ids = test_ds.obj_ids(scene, view)
+            raw = test_ds.get_raw(scene, view, obj_ids, p_give_prior=0.0)
+            img = jnp.asarray(raw["img"][None])
+            boxes = jnp.asarray(raw["bboxes"][None])
+            omask = jnp.ones((1, len(obj_ids)), bool)
+            crops = roi_ops.roi_crop_batch(img, boxes, omask, (256, 256))[0]
+            outs = {
+                "bf16": apply_bf16(variables, crops),
+                "int8": apply_int8(variables, scales, crops),
+            }
+            for name, out in outs.items():
+                uv = np.asarray(out.uv, np.float64)
+                pm = np.asarray(out.kp_mask) > 0.3
+                gt_uv = raw["kp_uvs"]
+                m = raw["kp_masks"]
+                err = np.abs(uv - gt_uv)[m].mean() if m.any() else np.nan
+                stats[name]["uv_err"].append(err)
+                stats[name]["mask_agree"].append(
+                    float((pm == raw["kp_masks"]).mean())
+                )
+                for i, obj in enumerate(obj_ids):
+                    mk = raw["kp_model_masks"][i] & pm[i]
+                    if mk.sum() < 6:
+                        continue
+                    res = pnp.pnp_ransac(
+                        jnp.asarray(raw["model_kps"][i]),
+                        jnp.asarray(
+                            np.linalg.solve(
+                                raw["K_kps"][i],
+                                np.concatenate(
+                                    [uv[i], np.ones((41, 1))], -1
+                                ).T,
+                            ).T[:, :2]
+                        ),
+                        jnp.asarray(mk),
+                        jax.random.PRNGKey(view * 97 + i),
+                    )
+                    if not bool(res.success):
+                        continue
+                    T_est = np.asarray(res.T, np.float64)
+                    T_gt = np.eye(4)
+                    T_gt[:3] = raw["poses"][i]
+                    dR = T_est[:3, :3] @ T_gt[:3, :3].T
+                    ang = np.degrees(
+                        np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+                    )
+                    stats[name]["rot_deg"].append(ang)
+                    stats[name]["t_mm"].append(
+                        float(np.linalg.norm(T_est[:3, 3] - T_gt[:3, 3]))
+                    )
+
+    report = {}
+    for name, d in stats.items():
+        report[name] = {
+            "uv_mae_ndc": float(np.nanmean(d["uv_err"])),
+            "mask_agreement": float(np.mean(d["mask_agree"])),
+            "rot_err_deg_med": float(np.median(d["rot_deg"])) if d["rot_deg"] else None,
+            "t_err_mm_med": float(np.median(d["t_mm"])) if d["t_mm"] else None,
+            "n_poses": len(d["rot_deg"]),
+        }
+    b, q = report["bf16"], report["int8"]
+    report["delta_uv_mae_ndc"] = q["uv_mae_ndc"] - b["uv_mae_ndc"]
+    log(json.dumps(report, indent=2))
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

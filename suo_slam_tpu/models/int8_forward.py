@@ -1,0 +1,416 @@
+"""int8-RESIDENT inference forward for PkpNet: activations live in HBM as int8.
+
+Why: the bf16 model is HBM-bandwidth bound (~240 MB/crop of activation
+traffic). The first int8 path (`models/quant.py`) runs the convs on the MXU
+in int8 (+21%) but still ships every inter-layer activation as bf16 — the
+quantize step is pure extra traffic. This executor makes int8 the STORAGE
+format: every tensor materialized between fusions is int8 with a calibrated
+scale (per-tensor at conv inputs — required to factor the scale out of the
+convolution — and per-channel on the residual trunk, where consumers are
+elementwise/pool/upsample and the finer scale halves quantization noise).
+
+Fusion discipline (verified in the device trace):
+- conv + dequant + BN-affine + relu + requantize compile to ONE kOutput
+  fusion per conv (`clamp_convert_fusion`): the int32 conv result never hits
+  HBM. The affine is pre-folded into the dequant multiplier/bias so the
+  per-element epilogue is minimal (mul-add, max, round, clip).
+- nearest-upsample + skip-add junctions are written as reshape-broadcast
+  adds so XLA fuses them into one s8 -> s8 kernel instead of materializing
+  the 4x-upsampled tensor.
+- maxpool acts on the int8 tensor directly (monotone; scale positive).
+
+Hand traversal of the flax variables tree (module names are deterministic:
+Conv_k / Norm_k / Residual_k / Hourglass_k in creation order, mirroring
+`models/hourglass.py` / `models/pkpnet.py`); exactness of the traversal vs
+`net.apply` is checked in `tests/test_int8_forward.py` via the
+full-precision calib engine. This path supersedes the round-1 pallas
+fused-block experiments (removed): those lost end-to-end to plain XLA,
+while int8 storage beats it by cutting the bytes themselves.
+
+Calibration: `calibrate(net, variables, batches)` runs the SAME traversal
+with a recording engine and returns the per-point absmax tuple; point
+identity is the sequential order of materialization, shared by construction
+between the calib and int8 engines.
+
+Accuracy-critical pieces stay full precision: the 7x7 stem conv input (RGB,
+3 channels — negligible traffic, awkward MXU packing), the heatmap-logits
+head, soft-argmax readout and the validity classifier
+(reference hot loop: `lib/object_slam.py:1077-1167`).
+
+Inference only; norm="batch", prior_mode="post_stem".
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import heatmap as hm
+from .pkpnet import PkpNetOutput
+
+BN_EPS = 1e-5
+
+
+class QT(NamedTuple):
+    """int8 tensor + its dequantization scale (x ~= q * s; s is [] or [C])."""
+
+    q: jax.Array
+    s: jax.Array
+
+
+def _bn_affine(p, s):
+    a = p["scale"] * jax.lax.rsqrt(s["var"] + BN_EPS)
+    return a, p["bias"] - s["mean"] * a
+
+
+def _norm_params(p, s, name_p, name_s=None):
+    name_s = name_s or name_p
+    return _bn_affine(p[name_p]["MaskedBatchNorm_0"], s[name_s]["MaskedBatchNorm_0"])
+
+
+def _upsample2x_q(q):
+    """Nearest 2x upsample of the RAW int8 tensor. XLA materializes the
+    broadcast operand of the junction add either way (verified in the device
+    trace) — broadcasting the s8 codes instead of the dequantized f32 values
+    makes that materialization 4x smaller."""
+    n, h, w, c = q.shape
+    up = jnp.broadcast_to(q[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return up.reshape(n, 2 * h, 2 * w, c)
+
+
+class _CalAct(NamedTuple):
+    """Calibration-engine activation: f32 array + per-channel tag (keeps the
+    structural path — and therefore quant-point indices — identical between
+    the calib and int8 engines)."""
+
+    x: jax.Array
+    pc: bool
+
+
+class _CalibEngine:
+    """Records per-point absmax; all math in f32 (exact reference for int8)."""
+
+    int8 = False
+
+    def __init__(self):
+        self.absmax = []
+
+    def _record(self, xf, pc):
+        if pc:
+            self.absmax.append(
+                jnp.max(jnp.abs(xf), axis=tuple(range(xf.ndim - 1))).astype(jnp.float32)
+            )
+        else:
+            self.absmax.append(jnp.max(jnp.abs(xf)).astype(jnp.float32))
+
+    def quant(self, xf, pc=False):
+        self._record(xf, pc)
+        return _CalAct(xf, pc)
+
+    def dequant(self, a):
+        return a.x
+
+    def is_per_channel(self, a):
+        return a.pc
+
+    def channels(self, a):
+        return a.x.shape[-1]
+
+    def nrq(self, a, aff_a, aff_b):
+        """norm-affine + relu + (re)quantize: s8 -> s8 elementwise fusion."""
+        y = jnp.maximum(a.x * aff_a + aff_b, 0.0)
+        self._record(y, False)
+        return _CalAct(y, False)
+
+    def conv_raw(self, a, p, strides=(1, 1), padding="SAME"):
+        """conv + bias as virtual f32 (consumed by an add junction)."""
+        assert not a.pc, "conv inputs must be per-tensor quantized"
+        y = jax.lax.conv_general_dilated(
+            a.x.astype(jnp.float32), p["kernel"].astype(jnp.float32),
+            strides, padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return y + p["bias"]
+
+    def conv_nrq(self, a, p, aff_a, aff_b, strides=(1, 1), padding="SAME"):
+        """conv + affine + relu + quantize: one kOutput fusion in int8."""
+        y = self.conv_raw(a, p, strides, padding)
+        y = jnp.maximum(y * aff_a + aff_b, 0.0)
+        self._record(y, False)
+        return _CalAct(y, False)
+
+    def maxpool(self, a):
+        y = jax.lax.reduce_window(
+            a.x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        )
+        return _CalAct(y, a.pc)
+
+    def upsample_add(self, up1, low):
+        return up1.x + _upsample2x_q(low.x)
+
+
+class _Int8Engine:
+    """Executes with int8-resident activations using calibrated scales."""
+
+    int8 = True
+
+    def __init__(self, scales):
+        self.scales = scales  # tuple of f32 absmax per quant point ([] or [C])
+        self.i = 0
+
+    def _next_scale(self):
+        s = jnp.maximum(self.scales[self.i], 1e-6) / 127.0
+        self.i += 1
+        return s
+
+    @staticmethod
+    def _q(xf, s):
+        return jnp.clip(jnp.round(xf), -127, 127).astype(jnp.int8), s
+
+    def quant(self, xf, pc=False):
+        s = self._next_scale()
+        q, s = self._q(xf / s.astype(xf.dtype), s)
+        return QT(q, s)
+
+    def dequant(self, a: QT):
+        return a.q.astype(jnp.bfloat16) * a.s.astype(jnp.bfloat16)
+
+    def is_per_channel(self, a):
+        return a.s.ndim > 0
+
+    def channels(self, a):
+        return a.q.shape[-1]
+
+    def nrq(self, a: QT, aff_a, aff_b):
+        s_out = self._next_scale()
+        # folded: relu(deq(q)*a + b)/s_out  ->  max(q*m + c, 0); bf16 epilogue
+        m = ((a.s * aff_a) / s_out).astype(jnp.bfloat16)
+        c = (aff_b / s_out).astype(jnp.bfloat16)
+        q, s = self._q(jnp.maximum(a.q.astype(jnp.bfloat16) * m + c, 0.0), s_out)
+        return QT(q, s)
+
+    def _conv_i8(self, a: QT, p, strides, padding):
+        assert a.s.ndim == 0, "conv inputs must be per-tensor quantized"
+        kernel = p["kernel"]
+        s_w = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12) / 127.0
+        wq = jnp.clip(jnp.round(kernel / s_w), -127, 127).astype(jnp.int8)
+        # bf16 accumulation: rel RMS vs exact int32 accum measured 1.7e-3 —
+        # an order below the int8 quantization noise itself — and it halves
+        # the epilogue's element width.
+        y = jax.lax.conv_general_dilated(
+            a.q, wq, strides, padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.bfloat16,
+        )
+        return y, a.s * s_w  # bf16 accum, per-out-channel dequant scale [C]
+
+    def conv_raw(self, a: QT, p, strides=(1, 1), padding="SAME"):
+        y, s_acc = self._conv_i8(a, p, strides, padding)
+        return y * s_acc.astype(jnp.bfloat16) + p["bias"].astype(jnp.bfloat16)
+
+    def conv_nrq(self, a: QT, p, aff_a, aff_b, strides=(1, 1), padding="SAME"):
+        y, s_acc = self._conv_i8(a, p, strides, padding)
+        s_out = self._next_scale()
+        # folded epilogue: relu((y*s_acc + bias)*a + b)/s_out = max(y*m + c, 0)
+        m = ((s_acc * aff_a) / s_out).astype(jnp.bfloat16)
+        c = ((p["bias"] * aff_a + aff_b) / s_out).astype(jnp.bfloat16)
+        q, s = self._q(jnp.maximum(y * m + c, 0.0), s_out)
+        return QT(q, s)
+
+    def maxpool(self, a: QT):
+        q = jax.lax.reduce_window(
+            a.q, jnp.int8(-128), jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        )
+        return QT(q, a.s)
+
+    def upsample_add(self, up1: QT, low: QT):
+        up = _upsample2x_q(low.q)
+        return self.dequant(up1) + up.astype(jnp.bfloat16) * low.s.astype(jnp.bfloat16)
+
+
+def _residual(eng, p, s, act_x, features, out_pc=True):
+    """hourglass.Residual with int8-resident staging.
+
+    out_pc=False when the block output feeds a convolution directly (per-
+    tensor scale required there); trunk outputs default to per-channel."""
+    cin = eng.channels(act_x)
+    a0, b0 = _norm_params(p, s, "Norm_0")
+    a1, b1 = _norm_params(p, s, "Norm_1")
+    a2, b2 = _norm_params(p, s, "Norm_2")
+    act1 = eng.nrq(act_x, a0, b0)
+    act2 = eng.conv_nrq(act1, p["Conv_0"], a1, b1)
+    act3 = eng.conv_nrq(act2, p["Conv_1"], a2, b2, padding=[(1, 1), (1, 1)])
+    if cin != features:
+        # Projection skip consumes the RAW block input (`hourglass.py:141-142`).
+        # Two convolutions feed the output add, but XLA can output-fuse only
+        # ONE conv per fusion — the other would materialize its s32 result
+        # (4 B/elt, verified in the device trace). So conv_2 requantizes in
+        # its own kOutput fusion and conv_3 fuses into the add.
+        y = eng.dequant(eng.quant(eng.conv_raw(act3, p["Conv_2"])))
+        skip = eng.conv_raw(_per_tensor(eng, act_x), p["Conv_3"])
+    else:
+        y = eng.conv_raw(act3, p["Conv_2"])
+        skip = eng.dequant(act_x)
+    return eng.quant(skip + y, pc=out_pc)
+
+
+def _per_tensor(eng, act):
+    """Requantize a per-channel trunk tensor for direct conv consumption."""
+    if eng.is_per_channel(act):
+        return eng.quant(eng.dequant(act))
+    return act
+
+
+def _hourglass(eng, p, s, act_x, depth, n_modules, features):
+    r = 0
+    up1 = act_x
+    for _ in range(n_modules):
+        up1 = _residual(eng, p[f"Residual_{r}"], s[f"Residual_{r}"], up1, features)
+        r += 1
+    low = eng.maxpool(act_x)
+    for _ in range(n_modules):
+        low = _residual(eng, p[f"Residual_{r}"], s[f"Residual_{r}"], low, features)
+        r += 1
+    if depth > 1:
+        low = _hourglass(eng, p["Hourglass_0"], s["Hourglass_0"], low,
+                         depth - 1, n_modules, features)
+    else:
+        for _ in range(n_modules):
+            low = _residual(eng, p[f"Residual_{r}"], s[f"Residual_{r}"], low,
+                            features)
+            r += 1
+    for _ in range(n_modules):
+        low = _residual(eng, p[f"Residual_{r}"], s[f"Residual_{r}"], low, features)
+        r += 1
+    return eng.quant(eng.upsample_add(up1, low), pc=True)
+
+
+def _traverse(eng, variables, images_roi, prior_kp, net):
+    """Shared calib/int8 traversal; mirrors PkpNet.__call__ module order."""
+    p = variables["params"]["HourglassNet_0"]
+    s = variables["batch_stats"]["HourglassNet_0"]
+    n, h, w, _ = images_roi.shape
+    num_kp, features, n_modules = net.num_kp, net.features, net.n_modules
+    if prior_kp is None:
+        prior_kp = jnp.zeros((n, h // 4, w // 4, num_kp), jnp.float32)
+
+    # stem conv stays full precision (3-channel input, tiny traffic)
+    x = jax.lax.conv_general_dilated(
+        images_roi.astype(jnp.float32), p["Conv_0"]["kernel"].astype(jnp.float32),
+        (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + p["Conv_0"]["bias"]
+    a0, b0 = _norm_params(p, s, "Norm_0")
+    x = jnp.maximum(x * a0 + b0, 0.0)
+    act = eng.quant(x)
+    act = _residual(eng, p["Residual_0"], s["Residual_0"], act, 128)
+    act = eng.maxpool(act)
+    act = _residual(eng, p["Residual_1"], s["Residual_1"], act, 128)
+    act = _residual(eng, p["Residual_2"], s["Residual_2"], act, features)
+    prior_act = eng.quant(prior_kp.astype(jnp.float32))
+    act = eng.quant(
+        eng.dequant(act) + eng.conv_raw(prior_act, p["Conv_1"]), pc=True
+    )
+
+    conv_i, norm_i, res_i = 2, 1, 3
+    outs = []
+    for i in range(net.n_stack):
+        hg = _hourglass(eng, p[f"Hourglass_{i}"], s[f"Hourglass_{i}"], act,
+                        4, n_modules, features)
+        ll = hg
+        for m in range(n_modules):
+            # the last block's output feeds a conv directly -> per-tensor
+            ll = _residual(eng, p[f"Residual_{res_i}"], s[f"Residual_{res_i}"],
+                           ll, features, out_pc=(m < n_modules - 1))
+            res_i += 1
+        a_l, b_l = _norm_params(p, s, f"Norm_{norm_i}")
+        norm_i += 1
+        ll_act = eng.conv_nrq(ll, p[f"Conv_{conv_i}"], a_l, b_l)
+        conv_i += 1
+        # Heatmap-logits head: its input is already int8-quantized (ll_act
+        # also feeds the inter-stack convs), so running the head conv in the
+        # engine only adds per-channel 8-bit WEIGHT noise while avoiding a
+        # 2-byte dequant materialization of the full feature map. The logits
+        # are converted to f32 for the softmax/soft-argmax readout.
+        raw = eng.conv_raw(ll_act, p[f"Conv_{conv_i}"]).astype(jnp.float32)
+        conv_i += 1
+        outs.append(raw)
+        if i < net.n_stack - 1:
+            # 3-way junction with two convs: requantize one conv in its own
+            # kOutput fusion so neither materializes s32 (see _residual note)
+            ll_q = eng.quant(eng.conv_raw(ll_act, p[f"Conv_{conv_i}"]))
+            conv_i += 1
+            raw_act = eng.quant(raw)
+            tmp_ = eng.conv_raw(raw_act, p[f"Conv_{conv_i}"])
+            conv_i += 1
+            act = eng.quant(
+                eng.dequant(act) + eng.dequant(ll_q) + tmp_, pc=True
+            )
+    return outs
+
+
+def _readout(variables, outs, net):
+    raw = outs[-1]
+    if net.transpose_heatmaps:
+        raw = jnp.swapaxes(raw, 1, 2)
+    prob = hm.spatial_softmax(raw)
+    uv, cov = hm.soft_argmax(prob, calc_cov=net.calc_cov)
+    pooled = jnp.mean(raw, axis=(1, 2))
+    y = jnp.maximum(pooled, 0.0)
+    dp = variables["params"]["Dense_0"]
+    logits = y @ dp["kernel"] + dp["bias"]
+    return PkpNetOutput(
+        uv=uv, cov=cov, prob=prob, prob_logits=raw,
+        kp_mask_logits=logits, kp_mask=jax.nn.sigmoid(logits),
+        aux_logits=tuple(outs[:-1]),
+    )
+
+
+def calibrate(net, variables, batches, prior_batches=None):
+    """Run calibration batches; returns the per-point absmax tuple."""
+    assert net.norm == "batch" and net.prior_mode == "post_stem"
+
+    @jax.jit
+    def one(x, prior):
+        eng = _CalibEngine()
+        _traverse(eng, variables, x, prior, net)
+        return tuple(eng.absmax)  # mixed [] (conv inputs) and [C] (trunk)
+
+    scales = None
+    for i, x in enumerate(batches):
+        prior = None if prior_batches is None else prior_batches[i]
+        s = one(x, prior)
+        scales = s if scales is None else jax.tree.map(jnp.maximum, scales, s)
+    return scales
+
+
+def make_int8_apply(net):
+    """Returns apply(variables, scales, images_roi, prior) -> PkpNetOutput.
+
+    `scales` is the absmax tuple from `calibrate`. The returned callable is
+    jit-compatible; activations are int8-resident end to end in the backbone.
+    """
+    assert net.norm == "batch" and net.prior_mode == "post_stem"
+
+    def apply(variables, scales, images_roi, prior_kp=None):
+        eng = _Int8Engine(scales)
+        outs = _traverse(eng, variables, images_roi, prior_kp, net)
+        return _readout(variables, outs, net)
+
+    return apply
+
+
+def make_f32_reference_apply(net):
+    """The calib-engine traversal as a plain forward (test oracle: identical
+    graph shape to the int8 path, full precision)."""
+
+    def apply(variables, images_roi, prior_kp=None):
+        eng = _CalibEngine()
+        outs = _traverse(eng, variables, images_roi, prior_kp, net)
+        return _readout(variables, outs, net)
+
+    return apply

@@ -78,8 +78,14 @@ def soft_argmax(
     # Moment features: [HW, 5] = (u, v, uu, vv, uv)
     feats = jnp.stack([u, v, u * u, v * v, u * v], axis=-1).reshape(h * w, 5)
     flat = prob.reshape(prob.shape[:-3] + (h * w, k))
+    # HIGHEST precision: on TPU the default f32 einsum truncates operands to
+    # bf16 on the MXU; the E[x^2] - E[x]^2 cancellation then yields
+    # covariances that are indefinite at the ~1e-3 level once heatmaps
+    # sharpen, the Mahalanobis MLE loss turns negative, and training
+    # diverges (observed on v5e at full size; CPU tests never see it).
     m = jnp.einsum("...pk,pf->...kf", flat, feats,
-                   preferred_element_type=jnp.float32).astype(dtype)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST).astype(dtype)
     mu = m[..., :2]
     if not calc_cov:
         return mu, None
@@ -103,7 +109,8 @@ def heatmap_variance(prob: jax.Array, uv: jax.Array) -> jax.Array:
     feats = jnp.stack([jnp.ones_like(u), u, v, u * u + v * v], -1).reshape(h * w, 4)
     flat = prob.reshape(prob.shape[:-3] + (h * w, k))
     m = jnp.einsum("...pk,pf->...kf", flat, feats,
-                   preferred_element_type=jnp.float32).astype(prob.dtype)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST).astype(prob.dtype)
     # E[|p|^2] - 2 uv . E[p] + |uv|^2 E[1]   (E[1]=1 for softmaxed prob)
     return (
         m[..., 3]

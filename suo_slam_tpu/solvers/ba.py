@@ -156,28 +156,88 @@ def _edge_terms(cam_T, obj_T, uv, info, model_kp, cam_k):
     return r, chi2, z, J_cam, J_obj
 
 
-def _solve_normal_eq(H, g, free_mask6):
-    """Jacobi-preconditioned solve of H delta = -g with frozen rows masked.
+def _solve_normal_eq_schur(Hcc, Hoo, Hco, gc, go, cam_free, obj_free, lam):
+    """Schur-complement solve of the two-block normal equations.
 
-    free_mask6: [D] 0/1 per scalar state. Frozen states get delta = 0.
+    The system has the classic BA structure (g2o's BlockSolverSE3 exploits
+    the same, `thirdparty/g2opy/g2o/core/block_solver.h`): Hcc [V,6,6] and
+    Hoo [O,6,6] are BLOCK-DIAGONAL (cameras never share an edge with other
+    cameras, nor objects with objects); only Hco [V,O,6,6] couples them.
+    Eliminating the cameras — batched 6x6 Cholesky inverses — leaves a dense
+    6O x 6O reduced system over the (few) objects:
+
+        S = Hoo_bd - sum_v Hco[v]^T Hcc[v]^-1 Hco[v],   S d_o = -go + ...
+        d_c = Hcc^-1 (-gc - Hco d_o)
+
+    Cost is O(V) instead of the O((6(V+O))^3) dense factorization, which is
+    what keeps global BA flat as the sliding window grows past V=256. In
+    tracking mode every object is frozen and this degenerates to pure
+    per-camera 6x6 solves.
+
+    Solves (H + lam*diag(H)) delta = -g; frozen states (masks 0) get
+    delta = 0 and contribute nothing. Jacobi block scaling keeps the f32
+    factorizations well-conditioned (same trick as round 1's dense solve).
     """
-    dtype = H.dtype
-    D = H.shape[0]
-    m = free_mask6
-    # freeze: identity rows/cols for frozen states
-    H = H * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
-    g = g * m
-    d = jnp.sqrt(jnp.maximum(jnp.diagonal(H), 1e-12))
-    dinv = 1.0 / d
-    Hs = H * dinv[:, None] * dinv[None, :]
-    gs = g * dinv
-    # tiny Tikhonov for f32 safety
-    Hs = Hs + jnp.eye(D, dtype=dtype) * 1e-9
-    L, lower = jax.scipy.linalg.cho_factor(Hs, lower=True)
-    y = jax.scipy.linalg.cho_solve((L, lower), -gs)
-    delta = y * dinv * m
-    ok = jnp.all(jnp.isfinite(delta))
-    return jnp.where(ok, delta, jnp.zeros_like(delta)), ok
+    dtype = Hcc.dtype
+    V, O = Hco.shape[0], Hco.shape[1]
+    eye6 = jnp.eye(6, dtype=dtype)
+    mc = cam_free.astype(dtype)  # [V]
+    mo = obj_free.astype(dtype)  # [O]
+
+    # LM damping on the diagonal, then freeze via identity blocks
+    def damp(Hbb):
+        d = jnp.maximum(
+            jnp.diagonal(Hbb, axis1=-2, axis2=-1), 1e-9
+        )
+        return Hbb + lam * d[..., None] * eye6
+
+    Hcc = damp(Hcc) * mc[:, None, None] + (1.0 - mc)[:, None, None] * eye6
+    Hoo = damp(Hoo) * mo[:, None, None] + (1.0 - mo)[:, None, None] * eye6
+    Hco = Hco * mc[:, None, None, None] * mo[None, :, None, None]
+    gc = gc * mc[:, None]
+    go = go * mo[:, None]
+
+    # Jacobi scaling per scalar state
+    dc = jnp.sqrt(jnp.maximum(jnp.diagonal(Hcc, axis1=-2, axis2=-1), 1e-12))  # [V,6]
+    do = jnp.sqrt(jnp.maximum(jnp.diagonal(Hoo, axis1=-2, axis2=-1), 1e-12))  # [O,6]
+    ic, io = 1.0 / dc, 1.0 / do
+    Hcc_s = Hcc * ic[:, :, None] * ic[:, None, :] + 1e-9 * eye6
+    Hoo_s = Hoo * io[:, :, None] * io[:, None, :]
+    Hco_s = Hco * ic[:, None, :, None] * io[None, :, None, :]
+    gc_s = gc * ic
+    go_s = go * io
+
+    # batched camera-block inverses (6x6 Cholesky)
+    Lc = jnp.linalg.cholesky(Hcc_s)  # [V,6,6]
+    Hcc_inv = jax.vmap(
+        lambda L: jax.scipy.linalg.cho_solve((L, True), eye6)
+    )(Lc)
+
+    # reduced system over objects
+    A = jnp.einsum("vij,vojb->voib", Hcc_inv, Hco_s)           # Hcc^-1 Hco
+    S = -jnp.einsum("voia,vpib->oapb", Hco_s, A)               # [O,6,O,6]
+    S = S + jnp.einsum(
+        "oab,op->oapb", Hoo_s, jnp.eye(O, dtype=dtype)
+    )
+    y_c = jnp.einsum("vij,vj->vi", Hcc_inv, gc_s)              # Hcc^-1 gc
+    b_o = -go_s + jnp.einsum("voia,vi->oa", Hco_s, y_c)        # [O,6]
+
+    S_flat = S.reshape(6 * O, 6 * O) + 1e-9 * jnp.eye(6 * O, dtype=dtype)
+    Ls, lower = jax.scipy.linalg.cho_factor(S_flat, lower=True)
+    d_obj_s = jax.scipy.linalg.cho_solve((Ls, lower), b_o.reshape(-1)).reshape(O, 6)
+
+    rhs_c = -gc_s - jnp.einsum("voib,ob->vi", Hco_s, d_obj_s)
+    d_cam_s = jnp.einsum("vij,vj->vi", Hcc_inv, rhs_c)
+
+    d_cam = d_cam_s * ic * mc[:, None]
+    d_obj = d_obj_s * io * mo[:, None]
+    ok = jnp.all(jnp.isfinite(d_cam)) & jnp.all(jnp.isfinite(d_obj))
+    zero = jnp.zeros_like(d_cam), jnp.zeros_like(d_obj)
+    return (
+        jnp.where(ok, d_cam, zero[0]),
+        jnp.where(ok, d_obj, zero[1]),
+        ok,
+    )
 
 
 @partial(jax.jit, static_argnames=("iters_per_round", "tracking_only", "fix_first_cam", "init_with_outliers", "huber_delta", "chi2_thresh"))
@@ -269,28 +329,9 @@ def optimize(
         gc = jnp.sum(gvo[..., :6], axis=1)
         go = jnp.sum(gvo[..., 6:], axis=0)
 
-        D = 6 * (V + O)
-        H = jnp.zeros((D, D), dtype)
-        # vectorized block placement
-        H = H.at[: 6 * V, : 6 * V].set(
-            jnp.einsum("vij,vw->viwj", Hcc, jnp.eye(V, dtype=dtype)).reshape(6 * V, 6 * V)
+        d_cam, d_obj, ok = _solve_normal_eq_schur(
+            Hcc, Hoo, Hco, gc, go, cam_free, obj_free, lam
         )
-        H = H.at[6 * V :, 6 * V :].set(
-            jnp.einsum("oij,op->oipj", Hoo, jnp.eye(O, dtype=dtype)).reshape(6 * O, 6 * O)
-        )
-        Hco_flat = jnp.transpose(Hco, (0, 2, 1, 3)).reshape(6 * V, 6 * O)
-        H = H.at[: 6 * V, 6 * V :].set(Hco_flat)
-        H = H.at[6 * V :, : 6 * V].set(Hco_flat.T)
-        g = jnp.concatenate([gc.reshape(-1), go.reshape(-1)])
-
-        free6 = jnp.concatenate(
-            [jnp.repeat(cam_free.astype(dtype), 6), jnp.repeat(obj_free.astype(dtype), 6)]
-        )
-        # LM damping on the (preconditioned) diagonal
-        H_damped = H + lam * jnp.diag(jnp.maximum(jnp.diagonal(H), 1e-9))
-        delta, ok = _solve_normal_eq(H_damped, g, free6)
-        d_cam = delta[: 6 * V].reshape(V, 6)
-        d_obj = delta[6 * V :].reshape(O, 6)
         # NOTE: SO(3) reorthonormalization happens once per ROUND (outside
         # this loop) — per-iteration drift over <= 40 exp-compose steps is
         # well below f32 epsilon and the quat round-trip costs ~30 small ops.
