@@ -61,7 +61,7 @@ def main():
                 mesh_db.verts_full[obj_id], mesh_db.faces[obj_id], K,
                 diameter=float(mesh_db.diameter[obj_id - 1]),
             )
-            panel = cv2.cvtColor(lab.render_panel(), cv2.COLOR_GRAY2BGR)
+            panel = lab.render_panel()[..., ::-1].copy()  # RGB -> BGR for cv2
             h, w = lab.hw
             n = len(lab.view_poses)
             for vi, T in enumerate(lab.view_poses):
@@ -93,7 +93,7 @@ def main():
     n = len(labeler.view_poses)
 
     def redraw():
-        panel = cv2.cvtColor(labeler.render_panel(), cv2.COLOR_GRAY2BGR)
+        panel = labeler.render_panel()[..., ::-1].copy()  # RGB -> BGR for cv2
         name = kp_names[state["kp_idx"]]
         ns = len(labeler.samples.get(name, []))
         cv2.putText(panel, f"[{state['kp_idx'] + 1}/{len(kp_names)}] {name} "

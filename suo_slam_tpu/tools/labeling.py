@@ -20,7 +20,8 @@ import os
 
 import numpy as np
 
-from ..eval.render import render_depth
+from ..eval.render import render_depth, render_shaded  # noqa: F401 (depth
+# kept exported for downstream users of this module)
 from ..kp import config as kp_config
 
 
@@ -55,23 +56,19 @@ class KeypointLabeler:
             d = self.verts - self.verts.mean(0)
             diameter = 2.0 * float(np.linalg.norm(d, axis=1).max())
         self.view_poses = canonical_view_poses(diameter, n_views)
-        self.depths = [
-            render_depth(self.verts, self.faces, self.K, T, hw)
-            for T in self.view_poses
-        ]
+        # Shaded RGB for display (like the reference GUI's lit GL views,
+        # `manual_keypoints.py:107-120`); depth drives the back-projection.
+        self.shaded = []
+        self.depths = []
+        for T in self.view_poses:
+            rgb, d = render_shaded(self.verts, self.faces, self.K, T, hw)
+            self.shaded.append(rgb)
+            self.depths.append(d)
         self.samples: dict[str, list[np.ndarray]] = {}
 
     def render_panel(self) -> np.ndarray:
-        """Grayscale depth panel [2, n/2] grid for display."""
-        imgs = []
-        for d in self.depths:
-            m = d[d > 0]
-            if m.size:
-                lo, hi = float(m.min()), float(m.max())
-                g = np.where(d > 0, 255 - 200 * (d - lo) / max(hi - lo, 1e-6), 0)
-            else:
-                g = np.zeros_like(d)
-            imgs.append(g.astype(np.uint8))
+        """Flat-shaded RGB panel [2, n/2] grid for display ([H, W, 3] u8)."""
+        imgs = self.shaded
         n = len(imgs)
         top = np.concatenate(imgs[: n // 2], axis=1)
         bot = np.concatenate(imgs[n // 2 :], axis=1)

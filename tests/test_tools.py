@@ -151,3 +151,30 @@ def test_plot_cov_cli(bop_root, tmp_path):
     assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
     assert (tmp_path / "percent_sigma_inbounds.txt").exists()
     assert (tmp_path / "sigma_plot.png").exists()
+
+
+def test_render_shaded_matches_depth_and_shades_faces():
+    import numpy as np
+
+    from helpers.synthetic_bop import cuboid_corners, CUBOID_TRIS
+    from suo_slam_tpu.eval.render import render_depth, render_shaded
+
+    verts = np.asarray(cuboid_corners(40.0, 30.0, 25.0), np.float64)
+    K = np.array([[200.0, 0, 80.0], [0, 200.0, 60.0], [0, 0, 1.0]])
+    T = np.eye(4)
+    T[:3, :3] = np.array([[0.9363, -0.2751, 0.2184],
+                          [0.2896, 0.9564, -0.0370],
+                          [-0.1987, 0.0978, 0.9752]])
+    T[:3, 3] = [0, 0, 400.0]
+    hw = (120, 160)
+    rgb, depth = render_shaded(verts, CUBOID_TRIS, K, T, hw)
+    depth_ref = render_depth(verts, CUBOID_TRIS, K, T, hw)
+    np.testing.assert_allclose(depth, depth_ref, atol=1e-4)
+    hit = depth > 0
+    assert hit.sum() > 500
+    # background black, surface lit within [ambient*color, color]
+    assert rgb[~hit].max() == 0
+    vals = rgb[hit][:, 0].astype(float)
+    assert vals.min() >= 0.3 * 200 and vals.max() <= 255
+    # a rotated cuboid shows >= 2 visible faces with distinct shading
+    assert len(np.unique(rgb[hit][:, 0])) >= 2

@@ -35,7 +35,7 @@ def main():
 
     from suo_slam_tpu.data.bop import BopDataset
     from suo_slam_tpu.data.mesh import load_mesh_db
-    from suo_slam_tpu.eval.render import render_depth
+    from suo_slam_tpu.eval.render import render_shaded
 
     ds = BopDataset(data_root, args.split, bop_dset=args.dataset,
                     kp_config_root=args.kp_config_root)
@@ -55,12 +55,15 @@ def main():
     T4 = np.eye(4)
     T4[:3, :] = T_gt[:3, :]
     for i in sorted(idxs):
-        d = render_depth(
-            db.verts_full[args.obj_id], db.faces[args.obj_id], K, T4 @ syms[i], hw
+        rgb, d = render_shaded(
+            db.verts_full[args.obj_id], db.faces[args.obj_id], K, T4 @ syms[i], hw,
+            color=(80, 220, 220),
         )
         mask = d > 0
         tile = img.copy()
-        tile[mask] = (0.4 * tile[mask] + np.array([0, 150, 150])).clip(0, 255)
+        # blend the shaded candidate over the camera image (like the GL
+        # overlay in the reference viewer)
+        tile[mask] = (0.4 * tile[mask] + 0.6 * rgb[mask][..., ::-1]).clip(0, 255)
         color = (0, 255, 0) if i == i_best else (0, 0, 255)
         cv2.rectangle(tile, (1, 1), (hw[1] - 2, hw[0] - 2), color, 3)
         cv2.putText(tile, f"sym {i}", (8, 20), cv2.FONT_HERSHEY_PLAIN, 1.2, color, 2)
