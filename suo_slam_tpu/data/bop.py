@@ -22,8 +22,10 @@ Units follow BOP: translations/keypoints in mm.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
+import threading
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -99,7 +101,15 @@ class BopDataset:
         self.mask_occluded = mask_occluded
         self.ignore_symmetry = ignore_symmetry
         self.det_type = det_type
-        self.rng = np.random.default_rng(seed)
+        # Thread-local RNGs: `get_raw` draws augmentation/prior randomness and
+        # numpy Generators are not thread-safe; the threaded loader
+        # (`train.ConcatLoader(workers>1)`) calls get_raw concurrently. Each
+        # loader thread gets its own deterministic stream (seed + thread
+        # index), matching the reference's per-worker seeding
+        # (`train.py:321` worker_init_fn).
+        self._seed = 0 if seed is None else int(seed)
+        self._tls = threading.local()
+        self._thread_counter = itertools.count()
 
         self.single_obj = int(map_by.split("_")[1]) if map_by.startswith("obj_") else None
 
@@ -134,6 +144,19 @@ class BopDataset:
                 )
 
         self._index_scenes()
+
+    @property
+    def rng(self) -> np.random.Generator:
+        """Per-thread RNG (see the note in __init__)."""
+        r = getattr(self._tls, "rng", None)
+        if r is None:
+            r = np.random.default_rng(self._seed + 7919 * next(self._thread_counter))
+            self._tls.rng = r
+        return r
+
+    @rng.setter
+    def rng(self, value):  # tests inject deterministic stubs
+        self._tls.rng = value
 
     def _should_load_bg_images(self) -> bool:
         """`lib/datasets/bop.py:260-261`."""

@@ -279,3 +279,59 @@ def test_huber_schedule_matches_reference():
         ours = [rnd <= max(1, n // 2) for rnd in range(n)]
         ref = _reference_huber_rounds([10] * n)
         assert ours == ref, f"n_rounds={n}: ours={ours} ref={ref}"
+
+
+def test_no_cov_information_scaling_semantics():
+    """Quantifies the deliberate deviation from the reference's no-cov BA.
+
+    The reference uses IDENTITY information in `--no_network_cov` BA
+    (`object_slam.py:825-828`) while gating inliers at chi2 <= 5.991 — in
+    NDC units that accepts residuals up to sqrt(5.991) ~ 2.45, i.e. beyond
+    the whole [-1, 1] image: the gate is vacuous and outliers stay in the
+    optimization. Ours scales information by 1/manual_kp_std^2
+    (`slam/kernels.py:54-66`) so the same gate means 2.45 sigma.
+
+    This test pins both facts: (a) scale does not change the least-squares
+    OPTIMUM on clean data (identical recovered poses); (b) with outliers,
+    identity information classifies everything as inlier while scaled
+    information rejects the outliers and recovers a far better pose.
+    """
+    prob, cam_gt, obj_gt, _, (nv, no, nk) = make_problem(
+        pose_noise=0.004, noise=0.002, seed=11, dtype=np.float64
+    )
+    sigma = 0.01
+    ident = jnp.broadcast_to(jnp.eye(2, dtype=prob.info.dtype), prob.info.shape)
+    scaled = ident / sigma**2
+
+    # (a) clean data: same optimum regardless of information scale
+    res_i = ba.optimize(prob._replace(info=ident))
+    res_s = ba.optimize(prob._replace(info=scaled))
+    for v in range(nv):
+        ai, _ = pose_errs(np.asarray(res_i.cam_T[v]), cam_gt[v])
+        as_, _ = pose_errs(np.asarray(res_s.cam_T[v]), cam_gt[v])
+        assert abs(ai - as_) < 0.02, (v, ai, as_)
+    # identity info makes the 5.991 gate vacuous: every valid edge "inlier"
+    assert int(res_i.num_inliers) == int(jnp.sum(prob.valid))
+
+    # (b) inject gross outliers (0.3 NDC off) into 20% of measurements
+    rng = np.random.default_rng(3)
+    uv = np.asarray(prob.uv).copy()
+    out_mask = rng.uniform(size=uv.shape[:-1]) < 0.2
+    uv[out_mask] += rng.choice([-0.3, 0.3], size=uv[out_mask].shape)
+    prob_o = prob._replace(uv=jnp.asarray(uv))
+
+    res_io = ba.optimize(prob_o._replace(info=ident))
+    res_so = ba.optimize(prob_o._replace(info=scaled))
+    # identity: outliers accepted (gate vacuous)
+    frac_in_ident = float(res_io.num_inliers) / float(jnp.sum(prob.valid))
+    assert frac_in_ident > 0.95, frac_in_ident
+    # scaled: outliers rejected
+    n_clean = float(jnp.sum(prob.valid & ~jnp.asarray(out_mask)))
+    assert float(res_so.num_inliers) <= n_clean * 1.02
+
+    err_i = np.mean([pose_errs(np.asarray(res_io.cam_T[v]), cam_gt[v])[0]
+                     for v in range(nv)])
+    err_s = np.mean([pose_errs(np.asarray(res_so.cam_T[v]), cam_gt[v])[0]
+                     for v in range(nv)])
+    # quantified: scaled info recovers a much better pose under outliers
+    assert err_s < 0.5 * err_i, (err_s, err_i)

@@ -38,18 +38,28 @@ def build_datasets(args):
 
 
 class ConcatLoader:
-    """Minimal shuffling batch loader over concatenated datasets.
+    """Shuffling batch loader over concatenated datasets with threaded
+    decode + background prefetch.
 
-    Replaces torch DataLoader (`train.py:319-325`); single-process for now —
-    the host side is not the bottleneck for the TPU step.
+    Replaces the reference's torch DataLoader worker tier
+    (`train.py:319-325`): `workers` threads decode/augment samples in
+    parallel (cv2/PIL release the GIL for the heavy parts) while up to
+    `prefetch` ready batches queue ahead of the device step, so training
+    stays device-bound on full-size frames out of the box. `workers=1`
+    falls back to fully deterministic in-line loading; with workers > 1
+    each thread draws from its own seeded RNG stream (like the reference's
+    per-worker seeding), so augmentation draws depend on thread scheduling.
     """
 
-    def __init__(self, datasets, batch_size, truncate_obj, seed=0):
+    def __init__(self, datasets, batch_size, truncate_obj, seed=0, workers=4,
+                 prefetch=4):
         self.datasets = datasets
         self.lengths = [len(d) for d in datasets]
         self.total = sum(self.lengths)
         self.batch_size = batch_size
         self.truncate_obj = truncate_obj
+        self.workers = max(1, int(workers))
+        self.prefetch = max(1, int(prefetch))
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -68,11 +78,44 @@ class ConcatLoader:
         order = np.arange(self.total)
         if shuffle:
             self.rng.shuffle(order)
-        for b in range(len(self)):
-            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
-            samples = [self.sample(int(i)) for i in idx]
-            yield collate(samples, truncate_obj=self.truncate_obj,
-                          seed=int(self.rng.integers(2**31)))
+        batches = [
+            (order[b * self.batch_size : (b + 1) * self.batch_size],
+             int(self.rng.integers(2**31)))
+            for b in range(len(self))
+        ]
+        if self.workers == 1:
+            for idx, cseed in batches:
+                samples = [self.sample(int(i)) for i in idx]
+                yield collate(samples, truncate_obj=self.truncate_obj, seed=cseed)
+            return
+
+        import queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.workers) as ex:
+                    for idx, cseed in batches:
+                        samples = list(ex.map(lambda i: self.sample(int(i)), idx))
+                        q.put(collate(samples, truncate_obj=self.truncate_obj,
+                                      seed=cseed))
+                q.put(SENTINEL)
+            except BaseException as e:  # surfaced in the consumer
+                q.put(e)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
 
 
 def to_device_batch(np_batch, o_pad=None):
@@ -212,8 +255,10 @@ def main():
         print(f"Native cache loader: {loader.total} frames "
               f"({len(datasets)} splits), {len(loader)} steps/epoch")
     else:
-        loader = ConcatLoader(datasets, args.batch_size, args.truncate_obj)
-        print(f"Training on {loader.total} frames, {len(loader)} steps/epoch")
+        loader = ConcatLoader(datasets, args.batch_size, args.truncate_obj,
+                              workers=args.workers)
+        print(f"Training on {loader.total} frames, {len(loader)} steps/epoch "
+              f"({loader.workers} decode threads)")
 
     mesh = harness.data_parallel_mesh()
     n_dev = len(mesh.devices.reshape(-1))
