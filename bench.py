@@ -6,18 +6,27 @@ Runs the flagship full-size network (nStack=2, nFeats=256, 256x256 input,
 loop of the SLAM engine, reference `lib/object_slam.py:1077-1167`) on the
 real device and prints ONE JSON line.
 
+Default path: int8-RESIDENT inference (`models/int8_forward.py`) — int8
+activations in HBM, int8 convs on the MXU, per-tensor/per-channel calibrated
+scales. Accuracy at trained weights is validated by
+`benchmarks/int8_accuracy.py` (uv MAE / validity / PnP pose parity vs bf16);
+set SUO_BENCH_PATH=bf16 for the full-precision baseline. Batch 1024 is the
+serving batch (throughput, not latency, is the metric; the SLAM engine's
+per-frame latency path is measured in benchmarks/slam_latency.py).
+
 Baseline for `vs_baseline`: the driver north star of 5000 crops/sec/chip
 (BASELINE.json "north_star"; the reference repo publishes no numbers).
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 
 BASELINE_CROPS_PER_SEC = 5000.0
-BATCH = 256
+BATCH = 1024
 WARMUP = 3
 ITERS = 10
 
@@ -25,6 +34,7 @@ ITERS = 10
 def main():
     from suo_slam_tpu.models import PkpNet
 
+    path = os.environ.get("SUO_BENCH_PATH", "int8")
     net = PkpNet(dtype=jnp.bfloat16)
     n, h, w = BATCH, 256, 256
     rng = jax.random.PRNGKey(0)
@@ -33,11 +43,22 @@ def main():
     prior = jnp.zeros((n, ph, pw, 41), jnp.float32)
     variables = jax.jit(net.init)(jax.random.PRNGKey(1), x[:1])
 
-    @jax.jit
-    def forward(variables, x, prior):
-        out = net.apply(variables, x, prior)
-        # fold outputs into one scalar so nothing is dead-code eliminated
-        return jnp.sum(out.uv) + jnp.sum(out.cov) + jnp.sum(out.kp_mask)
+    if path == "int8":
+        from suo_slam_tpu.models import int8_forward as i8
+
+        scales = i8.calibrate(net, variables, [x[:8]], [prior[:8]])
+        apply_i8 = i8.make_int8_apply(net)
+
+        @jax.jit
+        def forward(variables, x, prior):
+            out = apply_i8(variables, scales, x, prior)
+            return jnp.sum(out.uv) + jnp.sum(out.cov) + jnp.sum(out.kp_mask)
+    else:
+
+        @jax.jit
+        def forward(variables, x, prior):
+            out = net.apply(variables, x, prior)
+            return jnp.sum(out.uv) + jnp.sum(out.cov) + jnp.sum(out.kp_mask)
 
     for _ in range(WARMUP):
         float(forward(variables, x, prior))

@@ -41,7 +41,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--batch-frames", type=int, default=8)
-    ap.add_argument("--train-views", type=int, default=40)
+    ap.add_argument("--train-views", type=int, default=30)
+    ap.add_argument("--scenes", type=int, default=6)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -58,7 +59,7 @@ def main():
     from train import ConcatLoader, to_device_batch
 
     root = tempfile.mkdtemp(prefix="int8acc_")
-    write_synthetic_bop(root, n_scenes=2, n_views=args.train_views,
+    write_synthetic_bop(root, n_scenes=args.scenes, n_views=args.train_views,
                         splits=("train_synt", "test"))
     train_ds = BopDataset(root, "train_synt", bop_dset="ycbv", no_aug=True,
                           kp_config_root=os.path.join(root, "kp_configs"),
@@ -111,11 +112,24 @@ def main():
     apply_bf16 = jax.jit(lambda v, x: net.apply(v, x))
     apply_int8 = jax.jit(lambda v, s, x: i8.make_int8_apply(net)(v, s, x))
 
-    # ---- evaluate both paths on the test split ---------------------------
-    stats = {k: dict(uv_err=[], mask_agree=[], rot_deg=[], t_mm=[])
-             for k in ("bf16", "int8")}
-    for scene in test_ds.scene_ids():
-        for view in test_ds.view_ids(scene):
+    # ---- evaluate both paths: held-out test split + a train-split slice
+    # (the train slice is the sharp-and-CORRECT-heatmap case — the most
+    # adversarial one for quantized soft-argmax)
+    eval_ds = BopDataset(root, "train_synt", bop_dset="ycbv", no_aug=True,
+                         ignore_symmetry=True,
+                         kp_config_root=os.path.join(root, "kp_configs"),
+                         seed=args.seed)
+    eval_sets = [("test", test_ds, None), ("train", eval_ds, 8)]
+    stats = {f"{tag}_{k}": dict(uv_err=[], mask_agree=[], rot_deg=[], t_mm=[])
+             for k in ("bf16", "int8") for tag, _, _ in eval_sets}
+    for tag, dset, limit in eval_sets:
+      n_done = 0
+      for scene in dset.scene_ids():
+        for view in dset.view_ids(scene):
+            if limit is not None and n_done >= limit:
+                break
+            n_done += 1
+            test_ds = dset
             obj_ids = test_ds.obj_ids(scene, view)
             raw = test_ds.get_raw(scene, view, obj_ids, p_give_prior=0.0)
             img = jnp.asarray(raw["img"][None])
@@ -126,7 +140,8 @@ def main():
                 "bf16": apply_bf16(variables, crops),
                 "int8": apply_int8(variables, scales, crops),
             }
-            for name, out in outs.items():
+            for name0, out in outs.items():
+                name = f"{tag}_{name0}"
                 uv = np.asarray(out.uv, np.float64)
                 pm = np.asarray(out.kp_mask) > 0.3
                 gt_uv = raw["kp_uvs"]
@@ -176,8 +191,10 @@ def main():
             "t_err_mm_med": float(np.median(d["t_mm"])) if d["t_mm"] else None,
             "n_poses": len(d["rot_deg"]),
         }
-    b, q = report["bf16"], report["int8"]
-    report["delta_uv_mae_ndc"] = q["uv_mae_ndc"] - b["uv_mae_ndc"]
+    for tag in ("test", "train"):
+        report[f"delta_uv_mae_ndc_{tag}"] = (
+            report[f"{tag}_int8"]["uv_mae_ndc"] - report[f"{tag}_bf16"]["uv_mae_ndc"]
+        )
     log(json.dumps(report, indent=2))
     print(json.dumps(report))
 
