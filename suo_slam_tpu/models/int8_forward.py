@@ -42,6 +42,7 @@ Inference only; norm="batch", prior_mode="post_stem".
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -153,13 +154,19 @@ class _CalibEngine:
 
 
 class _Int8Engine:
-    """Executes with int8-resident activations using calibrated scales."""
+    """Executes with int8-resident activations using calibrated scales.
+
+    fused=True routes eligible residual blocks through the Pallas megakernel
+    (`ops/int8_residual.py`): whole block in VMEM, one HBM read + write.
+    interpret runs that kernel in the Pallas interpreter (CPU test tier)."""
 
     int8 = True
 
-    def __init__(self, scales):
+    def __init__(self, scales, fused=False, interpret=False):
         self.scales = scales  # tuple of f32 absmax per quant point ([] or [C])
         self.i = 0
+        self.fused = fused
+        self.interpret = interpret
 
     def _next_scale(self):
         s = jnp.maximum(self.scales[self.i], 1e-6) / 127.0
@@ -237,6 +244,12 @@ def _residual(eng, p, s, act_x, features, out_pc=True):
     out_pc=False when the block output feeds a convolution directly (per-
     tensor scale required there); trunk outputs default to per-channel."""
     cin = eng.channels(act_x)
+    if getattr(eng, "fused", False) and cin == features:
+        n, h, w, _ = act_x.q.shape
+        # kernel constraints: C and M=C/2 multiples of 128, W a multiple of
+        # 32 (int8 sublane tile), and enough rows for the fusion to pay
+        if features % 256 == 0 and h * w >= 1024 and w % 32 == 0:
+            return _residual_fused(eng, p, s, act_x, features)
     a0, b0 = _norm_params(p, s, "Norm_0")
     a1, b1 = _norm_params(p, s, "Norm_1")
     a2, b2 = _norm_params(p, s, "Norm_2")
@@ -255,6 +268,63 @@ def _residual(eng, p, s, act_x, features, out_pc=True):
         y = eng.conv_raw(act3, p["Conv_2"])
         skip = eng.dequant(act_x)
     return eng.quant(skip + y, pc=out_pc)
+
+
+def _residual_fused(eng: "_Int8Engine", p, s, act_x: QT, features: int) -> QT:
+    """Non-projection residual via the Pallas megakernel.
+
+    Consumes the SAME four calibration points, in the same order, as the
+    unfused path (nrq, conv_nrq x2, output quant) — calibration always runs
+    the unfused `_CalibEngine` traversal, so point identity is shared by
+    construction. All scale/affine algebra folds into per-channel f32
+    epilogue vectors here; the kernel sees only mul-add epilogues.
+
+    Numerics vs unfused: f32 epilogues and exact s32 conv accumulation
+    (unfused uses bf16 for both) — strictly tighter; the cross-path code
+    agreement is pinned by `tests/test_int8_residual.py`."""
+    from ..ops.int8_residual import fused_residual_int8
+
+    a0, b0 = _norm_params(p, s, "Norm_0")
+    a1, b1 = _norm_params(p, s, "Norm_1")
+    a2, b2 = _norm_params(p, s, "Norm_2")
+    s1 = eng._next_scale()
+    s2 = eng._next_scale()
+    s3 = eng._next_scale()
+    so = eng._next_scale()
+
+    def wq(kernel):
+        sw = jnp.maximum(
+            jnp.max(jnp.abs(kernel), axis=tuple(range(kernel.ndim - 1))),
+            1e-12,
+        ) / 127.0
+        return jnp.clip(jnp.round(kernel / sw), -127, 127).astype(jnp.int8), sw
+
+    k1, sw1 = wq(p["Conv_0"]["kernel"][0, 0])   # [C, M]
+    k2, sw2 = wq(p["Conv_1"]["kernel"])         # [3, 3, M, M]
+    k3, sw3 = wq(p["Conv_2"]["kernel"][0, 0])   # [M, C]
+    c = features
+    mid = features // 2
+
+    def vec(v, n):
+        v = jnp.asarray(v, jnp.float32)
+        v = v.reshape(1, -1) if v.ndim else v.reshape(1, 1)
+        return jnp.broadcast_to(v, (1, n))
+
+    q_out = fused_residual_int8(
+        act_x.q,
+        vec(act_x.s * a0 / s1, c), vec(b0 / s1, c),
+        k1,
+        vec(s1 * sw1 * a1 / s2, mid),
+        vec((p["Conv_0"]["bias"] * a1 + b1) / s2, mid),
+        k2,
+        vec(s2 * sw2 * a2 / s3, mid),
+        vec((p["Conv_1"]["bias"] * a2 + b2) / s3, mid),
+        k3,
+        vec(act_x.s / so, c), vec(s3 * sw3 / so, c),
+        vec(p["Conv_2"]["bias"] / so, c),
+        interpret=eng.interpret,
+    )
+    return QT(q_out, so)
 
 
 def _per_tensor(eng, act):
@@ -388,16 +458,29 @@ def calibrate(net, variables, batches, prior_batches=None):
     return scales
 
 
-def make_int8_apply(net):
+def make_int8_apply(net, fused=None):
     """Returns apply(variables, scales, images_roi, prior) -> PkpNetOutput.
 
     `scales` is the absmax tuple from `calibrate`. The returned callable is
     jit-compatible; activations are int8-resident end to end in the backbone.
+
+    fused=True additionally runs eligible residual blocks through the Pallas
+    megakernel (`ops/int8_residual.py`). Default OFF: the per-block kernel
+    beats the unfused XLA block 3.2 vs 4.7 ms in isolation (batch 256,
+    64x64x256, v5e) but LOSES end to end — XLA lays the surrounding int8
+    graph out in a transposed {3,0,2,1} (batch-as-sublanes) tiling, and each
+    pallas boundary forces materialized relayout copies plus de-fused
+    maxpool/upsample neighbors (+33 ms/batch-256, device trace). Set
+    SUO_INT8_FUSED=1 to enable for experiments. On CPU backends the kernel
+    runs in the Pallas interpreter (slow; tests only).
     """
     assert net.norm == "batch" and net.prior_mode == "post_stem"
+    if fused is None:
+        fused = os.environ.get("SUO_INT8_FUSED", "0") == "1"
+    interpret = jax.default_backend() == "cpu"
 
     def apply(variables, scales, images_roi, prior_kp=None):
-        eng = _Int8Engine(scales)
+        eng = _Int8Engine(scales, fused=fused, interpret=interpret)
         outs = _traverse(eng, variables, images_roi, prior_kp, net)
         return _readout(variables, outs, net)
 
