@@ -60,20 +60,30 @@ def _dot_s8(a8, b8):
     )
 
 
-def _kernel(x_ref, m0, c0, w1, m1, c1, w2cat, m2, c2, w3, g_in, g3, g_b,
-            out_ref, s_ref, *, h, w):
-    r = h * w
-    c = x_ref.shape[-1]
-    m = w1.shape[-1]
+def zero_halo(s_ref, h, w):
+    """Zero the dy-halo rows of the tap scratch once per kernel invocation
+    (scratch persists over the sequential TPU grid; every program overwrites
+    only the center rows)."""
+    m3 = s_ref.shape[-1]
 
-    # dy halo: zero the top/bottom W rows once (scratch persists over the
-    # sequential TPU grid; every program overwrites only the center rows)
     @pl.when(pl.program_id(0) == 0)
     def _():
-        s_ref[0:w, :] = jnp.zeros((w, 3 * m), jnp.int8)
-        s_ref[w + r:, :] = jnp.zeros((w, 3 * m), jnp.int8)
+        s_ref[0:w, :] = jnp.zeros((w, m3), jnp.int8)
+        s_ref[w + h * w:, :] = jnp.zeros((w, m3), jnp.int8)
 
-    x8 = x_ref[0].reshape(r, c)
+
+def residual_rows(x8, vecs, s_ref, h, w):
+    """One residual block on [R, C] int8 codes held in VMEM/registers.
+
+    vecs = (m0, c0, w1q, m1, c1, w2cat, m2, c2, w3q, g_in, g3, g_b): folded
+    f32 epilogue vectors ([1, C]/[1, M]) and int8 weights; w2cat is
+    [3, 3M, M] (taps concatenated along K per dy row). s_ref is the shared
+    [R + 2W, 3M] int8 tap scratch with zeroed halo (`zero_halo`). Returns
+    the [R, C] int8 output codes. Shared by the single-block kernel here
+    and the whole-level kernels in `ops/int8_hourglass.py`."""
+    m0, c0, w1, m1, c1, w2cat, m2, c2, w3, g_in, g3, g_b = vecs
+    r = h * w
+    m = w1.shape[-1]
     xf = x8.astype(jnp.float32)
 
     # norm-relu-quant (s8 -> s8, folded per-channel affine)
@@ -110,7 +120,15 @@ def _kernel(x_ref, m0, c0, w1, m1, c1, w2cat, m2, c2, w3, g_in, g3, g_b,
 
     # 1x1 M -> C + dequantized skip, requantize to the trunk scale
     acc3 = _dot_s8(q3, w3[:]).astype(jnp.float32)
-    out = _q8(xf * g_in[:] + acc3 * g3[:] + g_b[:])
+    return _q8(xf * g_in[:] + acc3 * g3[:] + g_b[:])
+
+
+def _kernel(x_ref, m0, c0, w1, m1, c1, w2cat, m2, c2, w3, g_in, g3, g_b,
+            out_ref, s_ref, *, h, w):
+    c = x_ref.shape[-1]
+    zero_halo(s_ref, h, w)
+    vecs = (m0, c0, w1, m1, c1, w2cat, m2, c2, w3, g_in, g3, g_b)
+    out = residual_rows(x_ref[0].reshape(h * w, c), vecs, s_ref, h, w)
     out_ref[0] = out.reshape(h, w, c)
 
 
