@@ -234,7 +234,13 @@ class _Int8Engine:
         return QT(q, a.s)
 
     def upsample_add(self, up1: QT, low: QT):
-        up = _upsample2x_q(low.q)
+        # XLA materializes the upsampled operand either way (sublane-
+        # replicating broadcasts don't fuse into consumers); the barrier
+        # stops it from hoisting the dequant convert before the broadcast,
+        # which would materialize the 4x tensor in bf16 instead of s8
+        # (device trace: 671 MB broadcast + 536 MB consumer re-read per
+        # junction at batch 256, ~0.4 ms/junction extra).
+        up = jax.lax.optimization_barrier(_upsample2x_q(low.q))
         return self.dequant(up1) + up.astype(jnp.bfloat16) * low.s.astype(jnp.bfloat16)
 
 
@@ -561,9 +567,12 @@ def _traverse(eng, variables, images_roi, prior_kp, net):
         # Heatmap-logits head: its input is already int8-quantized (ll_act
         # also feeds the inter-stack convs), so running the head conv in the
         # engine only adds per-channel 8-bit WEIGHT noise while avoiding a
-        # 2-byte dequant materialization of the full feature map. The logits
-        # are converted to f32 for the softmax/soft-argmax readout.
-        raw = eng.conv_raw(ll_act, p[f"Conv_{conv_i}"]).astype(jnp.float32)
+        # 2-byte dequant materialization of the full feature map. Logits
+        # stay in the engine dtype (bf16 for the int8 engine — their values
+        # already carry int8-activation noise an order above bf16 rounding);
+        # the readout's moment contraction runs f32-HIGHEST regardless
+        # (`ops/heatmap.py soft_argmax_from_logits`).
+        raw = eng.conv_raw(ll_act, p[f"Conv_{conv_i}"])
         conv_i += 1
         outs.append(raw)
         if i < net.n_stack - 1:
@@ -584,8 +593,7 @@ def _readout(variables, outs, net):
     raw = outs[-1]
     if net.transpose_heatmaps:
         raw = jnp.swapaxes(raw, 1, 2)
-    prob = hm.spatial_softmax(raw)
-    uv, cov = hm.soft_argmax(prob, calc_cov=net.calc_cov)
+    uv, cov, prob = hm.soft_argmax_from_logits(raw, calc_cov=net.calc_cov)
     pooled = jnp.mean(raw, axis=(1, 2))
     y = jnp.maximum(pooled, 0.0)
     dp = variables["params"]["Dense_0"]

@@ -61,6 +61,50 @@ def spatial_softmax(logits: jax.Array) -> jax.Array:
     return prob.reshape(logits.shape)
 
 
+def soft_argmax_from_logits(
+    logits: jax.Array, calc_cov: bool = True, min_var: float = 1e-6
+) -> tuple[jax.Array, jax.Array | None, jax.Array]:
+    """Softmax + soft-argmax readout in one moment contraction.
+
+    Equivalent to `soft_argmax(spatial_softmax(logits))` but folds the
+    softmax normalizer into the moment matmul as a ones-column: the
+    unnormalized exp map feeds a single [HW, 6] contraction and the
+    probabilities are only materialized if the caller actually uses the
+    returned `prob` (XLA dead-code-eliminates it otherwise). Saves two full
+    passes over the [N, H, W, K] map vs the two-step form (device trace).
+
+    Returns (uv [..., K, 2], cov [..., K, 2, 2] | None, prob like logits).
+    """
+    h, w, k = logits.shape[-3:]
+    flat = logits.reshape(logits.shape[:-3] + (h * w, k))
+    # Logits may arrive in bf16 (the int8 engine's storage dtype); the
+    # moment features and contraction stay f32 — bf16 NDC grid coords would
+    # bias uv by ~4e-3 and the E[x^2]-E[x]^2 cancellation needs full f32
+    # (see the precision note in `soft_argmax` below).
+    shift = jax.lax.stop_gradient(jnp.max(flat, axis=-2, keepdims=True))
+    e = jnp.exp((flat - shift).astype(jnp.float32))
+    u, v = ndc_grid(h, w, jnp.float32)
+    ones = jnp.ones_like(u)
+    feats = jnp.stack([ones, u, v, u * u, v * v, u * v], axis=-1).reshape(h * w, 6)
+    m = jnp.einsum("...pk,pf->...kf", e, feats,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    z = jnp.maximum(m[..., :1], jnp.finfo(jnp.float32).tiny)  # [..., K, 1]
+    m = m[..., 1:] / z
+    prob = (e / z[..., 0][..., None, :]).astype(logits.dtype).reshape(logits.shape)
+    mu = m[..., :2]
+    if not calc_cov:
+        return mu, None, prob
+    eu, ev, euu, evv, euv = m[..., 0], m[..., 1], m[..., 2], m[..., 3], m[..., 4]
+    cuu = euu - eu * eu + min_var
+    cvv = evv - ev * ev + min_var
+    cuv = euv - eu * ev
+    cov = jnp.stack(
+        [jnp.stack([cuu, cuv], -1), jnp.stack([cuv, cvv], -1)], axis=-2
+    )
+    return mu, cov, prob
+
+
 def soft_argmax(
     prob: jax.Array, calc_cov: bool = True, min_var: float = 1e-6
 ) -> tuple[jax.Array, jax.Array | None]:

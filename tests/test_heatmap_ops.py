@@ -99,3 +99,33 @@ def test_render_prior_nonfinite_uv_is_ignored():
     mask = jnp.asarray([[True]])
     out = hm.render_prior_heatmaps(uv, mask, hw=(32, 32))
     assert float(jnp.max(out)) == 0.0
+
+
+def test_soft_argmax_from_logits_matches_two_step():
+    """The fused logits readout must reproduce spatial_softmax + soft_argmax
+    (it folds the normalizer into the moment contraction as a ones-column)."""
+    key = jax.random.PRNGKey(7)
+    logits = 4.0 * jax.random.normal(key, (3, 16, 16, 5))
+    uv_f, cov_f, prob_f = hm.soft_argmax_from_logits(logits)
+    prob = hm.spatial_softmax(logits)
+    uv, cov = hm.soft_argmax(prob)
+    np.testing.assert_allclose(np.asarray(prob_f), np.asarray(prob), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(uv_f), np.asarray(uv), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cov_f), np.asarray(cov), atol=1e-5)
+
+
+def test_soft_argmax_from_logits_bf16_precision():
+    """bf16 logits (the int8 engine's storage dtype) must not cost uv
+    precision: the moment features/contraction are f32 internally. A sharp
+    gaussian heatmap is the adversarial case."""
+    h = w = 64
+    g = _gauss_heatmap(h, w, (40.0, 20.0), 2.0)
+    logits = np.log(np.maximum(g, 1e-30))[None, :, :, None]
+    uv32, cov32, _ = hm.soft_argmax_from_logits(jnp.asarray(logits, jnp.float32))
+    uv16, cov16, _ = hm.soft_argmax_from_logits(jnp.asarray(logits, jnp.bfloat16))
+    assert uv32.dtype == jnp.float32 and uv16.dtype == jnp.float32
+    # bf16 rounding of the LOGITS perturbs the softmax slightly; the readout
+    # itself must not add grid-coordinate bias (would be ~4e-3 NDC if the
+    # grid were bf16)
+    np.testing.assert_allclose(np.asarray(uv16), np.asarray(uv32), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(cov16), np.asarray(cov32), atol=2e-4)
