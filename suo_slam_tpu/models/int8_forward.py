@@ -42,7 +42,6 @@ Inference only; norm="batch", prior_mode="post_stem".
 
 from __future__ import annotations
 
-import os
 from typing import NamedTuple
 
 import jax
@@ -154,19 +153,13 @@ class _CalibEngine:
 
 
 class _Int8Engine:
-    """Executes with int8-resident activations using calibrated scales.
-
-    fused=True routes eligible residual blocks through the Pallas megakernel
-    (`ops/int8_residual.py`): whole block in VMEM, one HBM read + write.
-    interpret runs that kernel in the Pallas interpreter (CPU test tier)."""
+    """Executes with int8-resident activations using calibrated scales."""
 
     int8 = True
 
-    def __init__(self, scales, fused=False, interpret=False):
+    def __init__(self, scales):
         self.scales = scales  # tuple of f32 absmax per quant point ([] or [C])
         self.i = 0
-        self.fused = fused
-        self.interpret = interpret
 
     def _next_scale(self):
         s = jnp.maximum(self.scales[self.i], 1e-6) / 127.0
@@ -250,12 +243,6 @@ def _residual(eng, p, s, act_x, features, out_pc=True):
     out_pc=False when the block output feeds a convolution directly (per-
     tensor scale required there); trunk outputs default to per-channel."""
     cin = eng.channels(act_x)
-    if getattr(eng, "fused", False) and cin == features:
-        n, h, w, _ = act_x.q.shape
-        # kernel constraints: C and M=C/2 multiples of 128, W a multiple of
-        # 32 (int8 sublane tile), and enough rows for the fusion to pay
-        if features % 256 == 0 and h * w >= 1024 and w % 32 == 0:
-            return _residual_fused(eng, p, s, act_x, features)
     a0, b0 = _norm_params(p, s, "Norm_0")
     a1, b1 = _norm_params(p, s, "Norm_1")
     a2, b2 = _norm_params(p, s, "Norm_2")
@@ -274,202 +261,6 @@ def _residual(eng, p, s, act_x, features, out_pc=True):
         y = eng.conv_raw(act3, p["Conv_2"])
         skip = eng.dequant(act_x)
     return eng.quant(skip + y, pc=out_pc)
-
-
-def _vec(v, n):
-    """To a broadcastable [1, n] f32 epilogue vector (scalars broadcast)."""
-    v = jnp.asarray(v, jnp.float32)
-    v = v.reshape(1, -1) if v.ndim else v.reshape(1, 1)
-    return jnp.broadcast_to(v, (1, n))
-
-
-def _wq(kernel):
-    """Per-out-channel int8 weight quantization (same as `_conv_i8`)."""
-    sw = jnp.maximum(
-        jnp.max(jnp.abs(kernel), axis=tuple(range(kernel.ndim - 1))),
-        1e-12,
-    ) / 127.0
-    return jnp.clip(jnp.round(kernel / sw), -127, 127).astype(jnp.int8), sw
-
-
-def _fold_residual(eng: "_Int8Engine", p, s, s_in, features: int):
-    """Fold one non-projection residual block's scales/affines into the 12
-    kernel epilogue vectors (`int8_residual.residual_rows` order).
-
-    Consumes the SAME four calibration points, in the same order, as the
-    unfused path (nrq, conv_nrq x2, output quant) — calibration always runs
-    the unfused `_CalibEngine` traversal, so point identity is shared by
-    construction. Returns (vecs, s_out)."""
-    a0, b0 = _norm_params(p, s, "Norm_0")
-    a1, b1 = _norm_params(p, s, "Norm_1")
-    a2, b2 = _norm_params(p, s, "Norm_2")
-    s1 = eng._next_scale()
-    s2 = eng._next_scale()
-    s3 = eng._next_scale()
-    so = eng._next_scale()
-    k1, sw1 = _wq(p["Conv_0"]["kernel"][0, 0])   # [C, M]
-    k2, sw2 = _wq(p["Conv_1"]["kernel"])         # [3, 3, M, M]
-    k3, sw3 = _wq(p["Conv_2"]["kernel"][0, 0])   # [M, C]
-    c, mid = features, features // 2
-    vecs = (
-        _vec(s_in * a0 / s1, c), _vec(b0 / s1, c),
-        k1,
-        _vec(s1 * sw1 * a1 / s2, mid),
-        _vec((p["Conv_0"]["bias"] * a1 + b1) / s2, mid),
-        k2,
-        _vec(s2 * sw2 * a2 / s3, mid),
-        _vec((p["Conv_1"]["bias"] * a2 + b2) / s3, mid),
-        k3,
-        _vec(s_in / so, c), _vec(s3 * sw3 / so, c),
-        _vec(p["Conv_2"]["bias"] / so, c),
-    )
-    return vecs, so
-
-
-def _fold_chain(eng, p, s, s_in, features, res_ids):
-    blocks = []
-    s_cur = s_in
-    for rid in res_ids:
-        vecs, s_cur = _fold_residual(eng, p[rid], s[rid], s_cur, features)
-        blocks.append(vecs)
-    return tuple(blocks), s_cur
-
-
-def _fold_junction(eng, s_up, s_low, features):
-    """upsample-add junction quant: codes = q8(up*g_up + upsample(low)*g_low).
-    Consumes the junction's single calibration point."""
-    s_j = eng._next_scale()
-    return (_vec(s_up / s_j, features), _vec(s_low / s_j, features), s_j)
-
-
-def _residual_fused(eng: "_Int8Engine", p, s, act_x: QT, features: int) -> QT:
-    """Non-projection residual via the per-block Pallas kernel.
-
-    Numerics vs unfused: f32 epilogues and exact s32 conv accumulation
-    (unfused uses bf16 for both) — strictly tighter; cross-path code
-    agreement is pinned by `tests/test_int8_residual.py`."""
-    from ..ops.int8_residual import fused_residual_int8
-
-    vecs, so = _fold_residual(eng, p, s, act_x.s, features)
-    w2cat = jnp.concatenate([vecs[5][:, j] for j in range(3)], axis=1)
-    args = vecs[:5] + (w2cat,) + vecs[6:]
-    q_out = fused_residual_int8(act_x.q, *args, interpret=eng.interpret)
-    return QT(q_out, so)
-
-
-def _kernel_level_ok(h, w, features):
-    return features % 256 == 0 and h * w >= 1024 and w % 32 == 0
-
-
-def _chain_or_xla(eng, p, s, act, res_ids, features):
-    """A residual chain: whole-chain kernel at kernelable levels, otherwise
-    the existing per-block path (which itself falls back to plain XLA)."""
-    from ..ops.int8_hourglass import chain_int8
-
-    n, h, w, _ = act.q.shape
-    if _kernel_level_ok(h, w, features):
-        blocks, s_out = _fold_chain(eng, p, s, act.s, features, res_ids)
-        return QT(chain_int8(act.q, blocks, interpret=eng.interpret), s_out)
-    for rid in res_ids:
-        act = _residual(eng, p[rid], s[rid], act, features)
-    return act
-
-
-def _hourglass_fused(eng, p, s, act, depth, n_modules, features):
-    """Fused hourglass level: returns the UNJUNCTIONED pair
-    (up1 at this level, post-chain output at half resolution); the caller
-    fuses the return junction into its own post chain (`jchain_int8`) or
-    the stack tail (`tail_int8`). Mirrors `_hourglass`'s module order and
-    calibration-point sequence exactly."""
-    from ..ops.int8_hourglass import chain_int8, jchain_int8
-
-    m = n_modules
-    up_ids = [f"Residual_{i}" for i in range(m)]
-    pre_ids = [f"Residual_{i}" for i in range(m, 2 * m)]
-    post_start = 2 * m if depth > 1 else 3 * m
-    post_ids = [f"Residual_{i}" for i in range(post_start, post_start + m)]
-
-    n, h, w, _ = act.q.shape
-    blocks_up, s_up = _fold_chain(eng, p, s, act.s, features, up_ids)
-    up_q, pool_q = chain_int8(act.q, blocks_up, pool=True,
-                              interpret=eng.interpret)
-    up1 = QT(up_q, s_up)
-    low = QT(pool_q, act.s)
-
-    low = _chain_or_xla(eng, p, s, low, pre_ids, features)
-
-    if depth > 1:
-        # recurse fused only while the child can kernel its own level
-        if _kernel_level_ok(h // 2, w // 2, features) and depth - 1 > 1:
-            cu, cl = _hourglass_fused(eng, p["Hourglass_0"], s["Hourglass_0"],
-                                      low, depth - 1, m, features)
-            g_up, g_low, s_j = _fold_junction(eng, cu.s, cl.s, features)
-            blocks, s_out = _fold_chain(eng, p, s, s_j, features, post_ids)
-            low = QT(jchain_int8(cu.q, cl.q, g_up, g_low, blocks,
-                                 interpret=eng.interpret), s_out)
-        else:
-            j = _hourglass(eng, p["Hourglass_0"], s["Hourglass_0"], low,
-                           depth - 1, m, features)
-            low = _chain_or_xla(eng, p, s, j, post_ids, features)
-    else:
-        inner_ids = [f"Residual_{i}" for i in range(2 * m, 3 * m)]
-        low = _chain_or_xla(eng, p, s, low, inner_ids, features)
-        low = _chain_or_xla(eng, p, s, low, post_ids, features)
-    return up1, low
-
-
-def _stack_tail(eng, p, s, up1: QT, low: QT, act: QT, net, conv_i, norm_i,
-                res_i, last: bool):
-    """Top junction + ll chain + lin/head convs (+ inter-stack) in one
-    kernel. Returns (raw f32, next act QT or None). Consumes calibration
-    points in the unfused traversal's exact order: junction, ll blocks,
-    lin conv, [ll_q, raw_act, act'] (`_traverse`)."""
-    from ..ops.int8_hourglass import tail_int8
-
-    feats, kp = net.features, net.num_kp
-    g_up, g_low, s_j = _fold_junction(eng, up1.s, low.s, feats)
-    ll_ids = [f"Residual_{res_i + i}" for i in range(net.n_modules)]
-    blocks, s_ll = _fold_chain(eng, p, s, s_j, feats, ll_ids)
-
-    a_l, b_l = _norm_params(p, s, f"Norm_{norm_i}")
-    w_lin, sw_lin = _wq(p[f"Conv_{conv_i}"]["kernel"][0, 0])
-    s_llact = eng._next_scale()
-    lin = (w_lin,
-           _vec(s_ll * sw_lin * a_l / s_llact, feats),
-           _vec((p[f"Conv_{conv_i}"]["bias"] * a_l + b_l) / s_llact, feats))
-
-    kh = p[f"Conv_{conv_i + 1}"]["kernel"][0, 0]          # [C, kp]
-    bh = p[f"Conv_{conv_i + 1}"]["bias"]                  # [kp]
-    kh_p = jnp.zeros((feats, 128), kh.dtype).at[:, :kp].set(kh)
-    w_head, sw_head = _wq(kh_p)
-    head = (w_head,
-            _vec(s_llact * sw_head, 128),
-            _vec(jnp.zeros((128,), jnp.float32).at[:kp].set(bh), 128))
-
-    inter = None
-    if not last:
-        w_i1, sw_i1 = _wq(p[f"Conv_{conv_i + 2}"]["kernel"][0, 0])
-        s_llq = eng._next_scale()
-        s_rawact = eng._next_scale()
-        ki2 = p[f"Conv_{conv_i + 3}"]["kernel"][0, 0]     # [kp, C]
-        bi2 = p[f"Conv_{conv_i + 3}"]["bias"]
-        ki2_p = jnp.zeros((128, feats), ki2.dtype).at[:kp, :].set(ki2)
-        w_i2, sw_i2 = _wq(ki2_p)
-        s_next = eng._next_scale()
-        inter = (w_i1,
-                 _vec(s_llact * sw_i1 / s_llq, feats),
-                 _vec(p[f"Conv_{conv_i + 2}"]["bias"] / s_llq, feats),
-                 _vec(1.0 / s_rawact, 128),
-                 w_i2,
-                 _vec(act.s / s_next, feats),
-                 _vec(s_llq / s_next, feats),
-                 _vec(s_rawact * sw_i2 / s_next, feats),
-                 _vec(bi2 / s_next, feats))
-
-    raw, act_q = tail_int8(up1.q, low.q, act.q, g_up, g_low, blocks, lin,
-                           head, inter, kp, interpret=eng.interpret)
-    act_next = None if last else QT(act_q, s_next)
-    return raw.astype(jnp.float32), act_next
 
 
 def _per_tensor(eng, act):
@@ -534,24 +325,6 @@ def _traverse(eng, variables, images_roi, prior_kp, net):
     conv_i, norm_i, res_i = 2, 1, 3
     outs = []
     for i in range(net.n_stack):
-        n_, th, tw, _ = (act.q if hasattr(act, "q") else act.x).shape
-        if (getattr(eng, "fused", False) and _kernel_level_ok(th, tw, features)
-                and th * tw >= 4096):
-            # whole-level megakernel path: the 64x64 and 32x32 trunk flows
-            # kernel -> kernel with no XLA ops between (see
-            # `ops/int8_hourglass.py` for why boundaries matter)
-            up1, low = _hourglass_fused(eng, p[f"Hourglass_{i}"],
-                                        s[f"Hourglass_{i}"], act, 4,
-                                        n_modules, features)
-            raw, act_next = _stack_tail(eng, p, s, up1, low, act, net,
-                                        conv_i, norm_i, res_i,
-                                        last=(i == net.n_stack - 1))
-            outs.append(raw)
-            res_i += n_modules
-            norm_i += 1
-            conv_i += 2 if i == net.n_stack - 1 else 4
-            act = act_next
-            continue
         hg = _hourglass(eng, p[f"Hourglass_{i}"], s[f"Hourglass_{i}"], act,
                         4, n_modules, features)
         ll = hg
@@ -623,33 +396,24 @@ def calibrate(net, variables, batches, prior_batches=None):
     return scales
 
 
-def make_int8_apply(net, fused=None):
+def make_int8_apply(net):
     """Returns apply(variables, scales, images_roi, prior) -> PkpNetOutput.
 
     `scales` is the absmax tuple from `calibrate`. The returned callable is
     jit-compatible; activations are int8-resident end to end in the backbone.
 
-    fused=True additionally runs eligible residual blocks through the Pallas
-    megakernel (`ops/int8_residual.py`). Default OFF: the per-block kernel
-    beats the unfused XLA block 3.2 vs 4.7 ms in isolation (batch 256,
-    64x64x256, v5e) but LOSES end to end — XLA lays the surrounding int8
-    graph out in a transposed {3,0,2,1} (batch-as-sublanes) tiling, and each
-    pallas boundary forces materialized relayout copies plus de-fused
-    maxpool/upsample neighbors (+33 ms/batch-256, device trace). Set
-    SUO_INT8_FUSED=1 to enable for experiments. On CPU backends the kernel
-    runs in the Pallas interpreter (slow; tests only).
+    (The Pallas per-block/whole-level kernel variants of this executor were
+    removed after losing end to end to this XLA path — see BENCHMARKS.md
+    "Pallas int8 kernel post-mortem" and git history for the code.)
     """
     assert net.norm == "batch" and net.prior_mode == "post_stem"
-    if fused is None:
-        fused = os.environ.get("SUO_INT8_FUSED", "0") == "1"
-    interpret = jax.default_backend() == "cpu"
 
     def apply(variables, scales, images_roi, prior_kp=None):
-        eng = _Int8Engine(scales, fused=fused, interpret=interpret)
+        eng = _Int8Engine(scales)
         outs = _traverse(eng, variables, images_roi, prior_kp, net)
         # every calibration point must be consumed exactly once and in
-        # order — catches any fused/unfused scale-sequence drift at trace
-        # time rather than as silent mis-scaling
+        # order — catches any scale-sequence drift at trace time rather
+        # than as silent mis-scaling
         assert eng.i == len(scales), (eng.i, len(scales))
         return _readout(variables, outs, net)
 
