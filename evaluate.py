@@ -32,7 +32,7 @@ class Evaluator:
                  no_network_cov=False, detection_type="saved", debug_gt_kp=False,
                  gt_cam_pose=False, no_prior_det=False, no_viz=True,
                  debug_saved_only=False, give_all_prior=False,
-                 kp_config_root=None, bf16=True, norm="group"):
+                 kp_config_root=None, bf16=True, norm="group", int8=False):
         from suo_slam_tpu.data.bop import BopDataset
         from suo_slam_tpu.data.mesh import load_mesh_db
         from suo_slam_tpu.slam import ObjectSlam, SlamConfig
@@ -95,6 +95,14 @@ class Evaluator:
                     params, self.model_epoch, _ = load_model_only(
                         chkpt_path, template
                     )
+            if int8 and (net is None or net.norm != "batch"
+                         or net.prior_mode != "post_stem"):
+                raise SystemExit(
+                    "--int8 requires a norm='batch', prior_mode='post_stem' "
+                    "checkpoint (the int8 executor's supported config); got "
+                    f"norm={getattr(net, 'norm', None)!r}, "
+                    f"prior_mode={getattr(net, 'prior_mode', None)!r}"
+                )
             cfg = SlamConfig(
                 sfm_mode=nviews > 1,
                 single_view_mode=nviews == 1,
@@ -106,6 +114,7 @@ class Evaluator:
                 bbox_thresh=bbox_thresh,
                 manual_kp_std=manual_kp_std,
                 opt_init_with_outliers=opt_init_with_outliers,
+                int8_inference=int8,
             )
             self.object_slam = ObjectSlam(cfg, mesh_db=self.mesh_db, net=net, params=params)
         self.nviews = nviews
@@ -394,6 +403,7 @@ def main():
         no_prior_det=args.no_prior_det, no_viz=args.no_viz,
         debug_saved_only=args.debug_saved_only, give_all_prior=args.give_all_prior,
         kp_config_root=args.kp_config_root, bf16=args.bf16, norm=args.norm,
+        int8=args.int8,
     ).run()
 
 

@@ -90,6 +90,11 @@ class SlamConfig:
     pnp_hypotheses: int = 64
     reinit_check_views: int = 15
     input_hw: tuple[int, int] = (256, 256)
+    # int8-RESIDENT network inference (`models/int8_forward.py`, +10% over
+    # bf16 at trained-weight accuracy parity — BENCHMARKS.md). Scales are
+    # calibrated on the first processed frame's crops (serving warmup).
+    # Requires norm="batch" + prior_mode="post_stem" nets.
+    int8_inference: bool = False
     seed: int = 666  # reference seeds 666 before eval (`evaluate.py:408`)
 
     @property
@@ -127,7 +132,9 @@ class ObjectSlam:
         self.params = params
         self._infer = None
         if net is not None and params is not None:
-            self._infer = kernels.make_frame_inference(net, params, config.input_hw)
+            self._infer = kernels.make_frame_inference(
+                net, params, config.input_hw, int8=config.int8_inference
+            )
         assert config.debug_gt_kp or self._infer is not None, (
             "Need a network unless debug_gt_kp is set"
         )
@@ -175,6 +182,33 @@ class ObjectSlam:
         self.obj_num_det_kps: dict[int, int] = {}
         self.needs_opt = False
 
+        # device mirrors of the bulk [V, O, ...] measurement buffers (host
+        # numpy stays the source of truth for the control logic; the mirrors
+        # are updated incrementally so kernels/BA never re-upload the full
+        # buffers per call — at V=64 that was ~1-2 MB per optimize())
+        self._dev: dict[str, object] = {}
+
+    # device mirrors ----------------------------------------------------------
+    _MIRRORED = ("uv", "info", "valid", "inliers", "cam_k4", "model_kp")
+
+    def _dev_buf(self, name):
+        """Device copy of a mirrored host buffer (uploaded once, then kept
+        in sync by `_sync_view_row` / the BA writeback / invalidation)."""
+        buf = self._dev.get(name)
+        if buf is None:
+            buf = jnp.asarray(getattr(self, name))
+            self._dev[name] = buf
+        return buf
+
+    def _sync_view_row(self, v):
+        """Push row `v` of the per-view measurement buffers to the device
+        mirrors (one small transfer per buffer instead of a full re-upload)."""
+        for name in ("uv", "info", "valid", "inliers", "cam_k4"):
+            if name in self._dev:
+                self._dev[name] = self._dev[name].at[v].set(
+                    jnp.asarray(getattr(self, name)[v])
+                )
+
     # capacity management ----------------------------------------------------
     def _ensure_view_slot(self, view_id) -> int:
         if view_id in self.view_slot:
@@ -196,6 +230,7 @@ class ObjectSlam:
         self.cam_T = np.concatenate([self.cam_T, np.tile(np.eye(4, dtype=np.float32), (grow, 1, 1))])
         self.cam_active = np.concatenate([self.cam_active, np.zeros((grow,), bool)])
         self.V = new_v
+        self._dev.clear()  # mirror shapes changed
 
     def _ensure_obj_slot(self, obj_id, model_kp=None, model_mask=None) -> int:
         if obj_id in self.obj_slot:
@@ -207,6 +242,7 @@ class ObjectSlam:
         if model_kp is not None:
             self.model_kp[n] = model_kp
             self.model_mask[n] = model_mask
+            self._dev.pop("model_kp", None)  # rare; re-upload lazily
         if self.mesh_db is not None:
             self.obj_diam[n] = self.mesh_db.diameter[obj_id - 1]
         self.obj_num_dets.setdefault(obj_id, 0)
@@ -226,6 +262,7 @@ class ObjectSlam:
         self.obj_active = np.concatenate([self.obj_active, np.zeros((grow,), bool)])
         self.obj_diam = np.concatenate([self.obj_diam, np.full((grow,), 1e-3, np.float32)])
         self.O = new_o
+        self._dev.clear()  # mirror shapes changed
 
     def num_views_processed(self):
         return len(self.view_ids)
@@ -477,6 +514,7 @@ class ObjectSlam:
                     self._set_obj_pose(obj_id, np.linalg.inv(T_GtoC) @ pose)
                 else:
                     self._set_obj_pose(obj_id, pose)
+        self._sync_view_row(v)
 
         # ---- camera pose from objects (`object_slam.py:574-580`) ----
         if not self._has_cam_pose(view_id):
@@ -529,9 +567,9 @@ class ObjectSlam:
         T_best, count, ok = kernels.camera_pose_ransac(
             jnp.asarray(T_pnp), jnp.asarray(pnp_ok),
             jnp.asarray(self.obj_T), jnp.asarray(self.obj_active & pnp_ok),
-            jnp.asarray(self.model_kp), jnp.asarray(self.uv[v]),
-            jnp.asarray(self.info[v]), jnp.asarray(self.inliers[v]),
-            jnp.asarray(self.cam_k4[v]), min_num_inliers,
+            self._dev_buf("model_kp"), self._dev_buf("uv")[v],
+            self._dev_buf("info")[v], self._dev_buf("inliers")[v],
+            self._dev_buf("cam_k4")[v], min_num_inliers,
         )
         return np.asarray(T_best) if bool(ok) else None
 
@@ -600,12 +638,13 @@ class ObjectSlam:
         for i in range(check_n):
             cs[i] = self.view_slot[self.view_ids[-(i + 1)]]
             cam_valid[i] = self.cam_active[cs[i]]
+        cs_d = jnp.asarray(cs)
         n_pnp, n_est = kernels.reinit_counts(
             jnp.asarray(T_pnp_G), jnp.asarray(self.obj_T),
             jnp.asarray(self.cam_T[cs]), jnp.asarray(cam_valid),
-            jnp.asarray(self.model_kp), jnp.asarray(self.uv[cs]),
-            jnp.asarray(self.info[cs]), jnp.asarray(self.valid[cs]),
-            jnp.asarray(self.cam_k4[cs]),
+            self._dev_buf("model_kp"), self._dev_buf("uv")[cs_d],
+            self._dev_buf("info")[cs_d], self._dev_buf("valid")[cs_d],
+            self._dev_buf("cam_k4")[cs_d],
         )
         n_pnp, n_est = np.asarray(n_pnp), np.asarray(n_est)
         for obj_id, _ in cand:
@@ -640,12 +679,12 @@ class ObjectSlam:
         problem = ba.BAProblem(
             cam_T=jnp.asarray(self.cam_T),
             obj_T=jnp.asarray(self.obj_T),
-            uv=jnp.asarray(self.uv),
-            info=jnp.asarray(self.info),
-            model_kp=jnp.asarray(self.model_kp),
-            cam_k=jnp.asarray(self.cam_k4),
-            valid=jnp.asarray(self.valid),
-            inliers=jnp.asarray(self.inliers),
+            uv=self._dev_buf("uv"),
+            info=self._dev_buf("info"),
+            model_kp=self._dev_buf("model_kp"),
+            cam_k=self._dev_buf("cam_k4"),
+            valid=self._dev_buf("valid"),
+            inliers=self._dev_buf("inliers"),
             cam_active=jnp.asarray(cam_sel & self.cam_active),
             obj_active=jnp.asarray(self.obj_active),
             cam_frozen=jnp.asarray(cam_frozen),
@@ -668,11 +707,15 @@ class ObjectSlam:
         if curr_only:
             self.cam_T[v] = new_cam[v]
             self.inliers[v] = new_inl[v]
+            self._sync_view_row(v)
         else:
             upd = self.cam_active
             self.cam_T[upd] = new_cam[upd]
             self.obj_T[self.obj_active] = new_obj[self.obj_active]
             self.inliers[self.cam_active] = new_inl[self.cam_active]
+            # masked writeback -> refresh the full inlier mirror (global BA
+            # runs every global_opt_every frames; 1 bool buffer upload)
+            self._dev["inliers"] = jnp.asarray(self.inliers)
             self._post_global_cleanup()
 
     def _post_global_cleanup(self):

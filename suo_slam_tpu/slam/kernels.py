@@ -211,12 +211,17 @@ def reinit_counts(
     return counts_obj(T_pnp_OtoG), counts_obj(T_est_OtoG)
 
 
-def make_frame_inference(net, variables, input_hw=(256, 256)):
+def make_frame_inference(net, variables, input_hw=(256, 256), int8=False):
     """Build the jitted fused per-frame network call.
 
     variables: the flax variables dict (`net.init(...)` / checkpoint) —
     params plus batch_stats for BatchNorm models. A bare params tree is
     wrapped for backward compatibility.
+
+    int8=True routes the backbone through the int8-RESIDENT executor
+    (`models/int8_forward.py`); activation scales are calibrated once, on
+    the first call's crops (serving-warmup pattern — the scales are absmax
+    bounds, stable across frames), then reused for the session.
 
     Returns fn(img [H, W, 3], boxes [O, 4], obj_valid [O], prior_uv [O, K, 2],
     prior_valid [O, K]) -> (uv [O, K, 2], cov [O, K, 2, 2] | None,
@@ -229,15 +234,40 @@ def make_frame_inference(net, variables, input_hw=(256, 256)):
         variables = {"params": variables}
     phw = net.prior_hw(input_hw)
 
-    @jax.jit
-    def fn(img, boxes, obj_valid, prior_uv, prior_valid):
+    def stage(img, boxes, obj_valid, prior_uv, prior_valid):
         crops = roi_ops.roi_crop_batch(
             img[None], boxes[None], obj_valid[None], input_hw
         )[0]
         prior = hm.render_prior_heatmaps(
             prior_uv, prior_valid, hw=phw, sigma_px=hm.prior_sigma_for(phw)
         )
-        out = net.apply(variables, crops, prior)
+        return crops, prior
+
+    if not int8:
+
+        @jax.jit
+        def fn(img, boxes, obj_valid, prior_uv, prior_valid):
+            crops, prior = stage(img, boxes, obj_valid, prior_uv, prior_valid)
+            out = net.apply(variables, crops, prior)
+            return out.uv, out.cov, out.kp_mask
+
+        return fn
+
+    from ..models import int8_forward as i8
+
+    apply_i8 = i8.make_int8_apply(net)
+    stage_j = jax.jit(stage)
+    state = {}
+
+    @jax.jit
+    def run_i8(scales, crops, prior):
+        out = apply_i8(variables, scales, crops, prior)
         return out.uv, out.cov, out.kp_mask
+
+    def fn(img, boxes, obj_valid, prior_uv, prior_valid):
+        crops, prior = stage_j(img, boxes, obj_valid, prior_uv, prior_valid)
+        if "scales" not in state:
+            state["scales"] = i8.calibrate(net, variables, [crops], [prior])
+        return run_i8(state["scales"], crops, prior)
 
     return fn

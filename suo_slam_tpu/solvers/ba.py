@@ -240,7 +240,7 @@ def _solve_normal_eq_schur(Hcc, Hoo, Hco, gc, go, cam_free, obj_free, lam):
     )
 
 
-@partial(jax.jit, static_argnames=("iters_per_round", "tracking_only", "fix_first_cam", "init_with_outliers", "huber_delta", "chi2_thresh"))
+@partial(jax.jit, static_argnames=("iters_per_round", "tracking_only", "fix_first_cam", "huber_delta", "chi2_thresh"))
 def optimize(
     problem: BAProblem,
     iters_per_round: tuple[int, ...] = DEFAULT_GLOBAL_ROUNDS,
@@ -268,13 +268,14 @@ def optimize(
     )
 
     # ---- initial classification (reference `object_slam.py:849-866`) ----
-    if init_with_outliers:
-        inliers0 = valid
-    else:
-        _, chi2_0 = _edge_chi2(
-            problem.cam_T, problem.obj_T, problem.uv, problem.info, problem.model_kp, problem.cam_k
-        )
-        inliers0 = valid & (chi2_0 <= chi2_thresh)
+    # init_with_outliers is TRACED (not a static jit arg): the per-dataset
+    # configs differ only in this flag, and keeping it in the graph avoids a
+    # second full compile of the LM program (one extra edge-chi2 pass costs
+    # nothing next to the solve).
+    _, chi2_0 = _edge_chi2(
+        problem.cam_T, problem.obj_T, problem.uv, problem.info, problem.model_kp, problem.cam_k
+    )
+    inliers0 = valid & ((chi2_0 <= chi2_thresh) | jnp.asarray(init_with_outliers))
 
     huber_d = jnp.asarray(huber_delta, dtype)
 

@@ -25,3 +25,8 @@ jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/suo_slam_tpu_jit_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+# Tests are compile-bound (single CPU): skip most XLA optimization passes.
+# Semantics are unchanged (numerical assertions all use tolerances); runtime
+# is slightly slower but compile time dominates by an order of magnitude.
+jax.config.update("jax_disable_most_optimizations", True)

@@ -1,5 +1,12 @@
 """int8-resident executor tests: traversal exactness, quantized accuracy,
-calibration structure, and prior-path equivalence."""
+calibration structure, and prior-path equivalence.
+
+Compile budget matters here (single-CPU XLA compiles dominate the fast
+tier): everything heavy is shared through the module-scope fixture — one
+jitted init/apply pair, ONE calibration (same batch split everywhere), one
+jitted int8 apply reused by every test — and structure-only checks run at
+trace time via `jax.eval_shape` instead of compiling.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -9,7 +16,7 @@ import pytest
 from suo_slam_tpu.models import PkpNet
 from suo_slam_tpu.models import int8_forward as i8
 
-TINY = dict(n_stack=2, n_modules=2, features=32, dtype=jnp.float32)
+TINY = dict(n_stack=2, n_modules=1, features=32, dtype=jnp.float32)
 
 
 @pytest.fixture(scope="module")
@@ -18,16 +25,19 @@ def setup():
     x = jax.random.uniform(jax.random.PRNGKey(0), (4, 64, 64, 3))
     ph, pw = net.prior_hw((64, 64))
     prior = jax.random.uniform(jax.random.PRNGKey(2), (4, ph, pw, 41)) * 0.5
-    variables = net.init(jax.random.PRNGKey(1), x[:1])
-    ref = net.apply(variables, x, prior)
-    return net, variables, x, prior, ref
+    variables = jax.jit(net.init)(jax.random.PRNGKey(1), x[:1])
+    ref = jax.jit(net.apply)(variables, x, prior)
+    scales = i8.calibrate(net, variables, [x[:2], x[2:]], [prior[:2], prior[2:]])
+    apply_i8 = jax.jit(i8.make_int8_apply(net))
+    out_i8 = apply_i8(variables, scales, x, prior)
+    return net, variables, x, prior, ref, scales, apply_i8, out_i8
 
 
 def test_f32_traversal_matches_flax_apply(setup):
     """The hand traversal (calib engine, full precision) must reproduce
     net.apply exactly — this pins the module-order walk."""
-    net, v, x, prior, ref = setup
-    out = i8.make_f32_reference_apply(net)(v, x, prior)
+    net, v, x, prior, ref = setup[:5]
+    out = jax.jit(i8.make_f32_reference_apply(net))(v, x, prior)
     np.testing.assert_allclose(np.asarray(out.uv), np.asarray(ref.uv), atol=1e-4)
     np.testing.assert_allclose(
         np.asarray(out.prob_logits), np.asarray(ref.prob_logits), atol=2e-3
@@ -38,36 +48,43 @@ def test_f32_traversal_matches_flax_apply(setup):
 
 
 def test_f32_traversal_no_prior(setup):
-    net, v, x, prior, _ = setup
-    ref = net.apply(v, x)
-    out = i8.make_f32_reference_apply(net)(v, x)
+    """No-prior variant: the traversal must default the prior channels to
+    zeros exactly like net.apply. Structure checked at trace time; values
+    on a single crop (smaller compile than the full batch)."""
+    net, v, x = setup[0], setup[1], setup[2]
+    ref = jax.jit(net.apply)(v, x[:1])
+    out = jax.jit(i8.make_f32_reference_apply(net))(v, x[:1])
     np.testing.assert_allclose(np.asarray(out.uv), np.asarray(ref.uv), atol=1e-4)
 
 
 def test_calibration_structure(setup):
     """Scales: scalars at conv inputs, [C] vectors on the trunk; the int8
-    engine must consume exactly all of them (index alignment)."""
-    net, v, x, prior, _ = setup
-    scales = i8.calibrate(net, v, [x[:2], x[2:]], [prior[:2], prior[2:]])
+    engine must consume exactly all of them (index alignment). The
+    consumption count is a TRACE-time property — eval_shape avoids
+    compiling/executing the int8 graph a second time."""
+    net, v, x, prior, _, scales = setup[:6]
     assert isinstance(scales, tuple) and len(scales) > 100
     ndims = {s.ndim for s in scales}
     assert ndims == {0, 1}
     assert all(float(jnp.max(s)) >= 0 for s in scales)
 
-    eng = i8._Int8Engine(scales)
-    outs = i8._traverse(eng, v, x, prior, net)
-    assert eng.i == len(scales), (eng.i, len(scales))
-    assert outs[-1].shape == (4, 16, 16, 41)
+    def run(v, x, prior):
+        eng = i8._Int8Engine(scales)
+        outs = i8._traverse(eng, v, x, prior, net)
+        # the assert fires during tracing if any point is left over/missing
+        assert eng.i == len(scales), (eng.i, len(scales))
+        return outs[-1]
+
+    shape = jax.eval_shape(run, v, x, prior)
+    assert shape.shape == (4, 16, 16, 41)
 
 
 def test_int8_close_to_reference(setup):
     """Quantized outputs track the f32 model within PTQ noise on random
-    weights (trained-weight validation lives in test_int8_accuracy.py)."""
-    net, v, x, prior, ref = setup
-    scales = i8.calibrate(net, v, [x], [prior])
-    out = jax.jit(i8.make_int8_apply(net))(v, scales, x, prior)
-    rms = lambda a: float(jnp.sqrt(jnp.mean(jnp.asarray(a) ** 2)))
-    rel = rms(out.prob_logits - ref.prob_logits) / rms(ref.prob_logits)
+    weights (trained-weight validation lives in benchmarks/int8_accuracy.py)."""
+    ref, out = setup[4], setup[7]
+    rms = lambda a: float(jnp.sqrt(jnp.mean(jnp.asarray(a, jnp.float32) ** 2)))
+    rel = rms(out.prob_logits.astype(jnp.float32) - ref.prob_logits) / rms(ref.prob_logits)
     assert rel < 0.08, f"logits rel RMS {rel}"
     assert out.uv.shape == ref.uv.shape and out.cov.shape == ref.cov.shape
     assert np.all(np.isfinite(np.asarray(out.uv)))
@@ -80,11 +97,10 @@ def test_int8_close_to_reference(setup):
 def test_int8_batch_independent(setup):
     """Per-tensor scales are calibration constants, so single-crop results
     must not depend on batch composition."""
-    net, v, x, prior, _ = setup
-    scales = i8.calibrate(net, v, [x], [prior])
-    apply_fn = jax.jit(i8.make_int8_apply(net))
-    full = apply_fn(v, scales, x, prior)
-    solo = apply_fn(v, scales, x[1:2], prior[1:2])
+    v, x, prior, scales, apply_i8, full = (
+        setup[1], setup[2], setup[3], setup[5], setup[6], setup[7]
+    )
+    solo = apply_i8(v, scales, x[1:2], prior[1:2])
     np.testing.assert_allclose(
         np.asarray(full.uv[1]), np.asarray(solo.uv[0]), atol=1e-5
     )

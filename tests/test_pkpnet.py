@@ -12,6 +12,18 @@ import pytest
 TINY = dict(n_stack=2, n_modules=1, features=32)
 
 
+@pytest.fixture(scope="module")
+def tiny():
+    """Shared tiny net + one eager forward (warms the per-op compile cache
+    for every test in this file — single-CPU XLA compiles dominate the
+    fast tier)."""
+    net = PkpNet(**TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    params = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(params, x)
+    return net, params, x, out
+
+
 def test_upsample2x():
     x = jnp.arange(4.0).reshape(1, 2, 2, 1)
     y = upsample2x(x)
@@ -20,21 +32,20 @@ def test_upsample2x():
     np.testing.assert_allclose(np.asarray(y[0, 2:, 2:, 0]), 3.0)
 
 
-def test_hourglass_net_output_resolution():
+def test_hourglass_net_output_resolution(tiny):
+    """Backbone resolution contract (input/4 like the reference) and the
+    intermediate-supervision output count, checked at trace time."""
     net = HourglassNet(in_features=3, num_output=5, n_stack=2, n_modules=1, features=32)
     x = jnp.zeros((2, 64, 64, 3))
-    params = net.init(jax.random.PRNGKey(0), x)
-    outs = net.apply(params, x)
+    params = jax.eval_shape(net.init, jax.random.PRNGKey(0), x)
+    outs = jax.eval_shape(net.apply, params, x)
     assert len(outs) == 2
     for o in outs:
         assert o.shape == (2, 16, 16, 5)  # input/4 like the reference
 
 
-def test_pkpnet_forward_shapes_and_prob():
-    net = PkpNet(**TINY)
-    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
-    params = net.init(jax.random.PRNGKey(0), x)
-    out = net.apply(params, x)
+def test_pkpnet_forward_shapes_and_prob(tiny):
+    net, params, x, out = tiny
     k = 41
     assert out.uv.shape == (2, k, 2)
     assert out.cov.shape == (2, k, 2, 2)
@@ -48,13 +59,10 @@ def test_pkpnet_forward_shapes_and_prob():
     )
 
 
-def test_pkpnet_with_prior_channel_changes_output():
-    net = PkpNet(**TINY)
-    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
-    params = net.init(jax.random.PRNGKey(0), x)
-    out0 = net.apply(params, x)
+def test_pkpnet_with_prior_channel_changes_output(tiny):
+    net, params, x, out0 = tiny
     ph, pw = net.prior_hw((64, 64))
-    prior = jnp.zeros((1, ph, pw, 41)).at[:, 5:8, 5:8, 0].set(1.0)
+    prior = jnp.zeros((2, ph, pw, 41)).at[:, 5:8, 5:8, 0].set(1.0)
     out1 = net.apply(params, x, prior)
     assert not np.allclose(np.asarray(out0.uv), np.asarray(out1.uv))
 

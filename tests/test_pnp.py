@@ -72,13 +72,13 @@ def test_p4p_disambiguates():
 
 def test_pnp_ransac_clean():
     key = jax.random.PRNGKey(0)
-    x, y, T = make_scene(20, seed=1)
-    mask = np.ones(20, dtype=bool)
+    x, y, T = make_scene(41, seed=1)
+    mask = np.ones(41, dtype=bool)
     res = pnp_mod.pnp_ransac(jnp.asarray(x), jnp.asarray(y), jnp.asarray(mask), key)
     assert bool(res.success)
     a, d = pose_err(np.asarray(res.T), T)
     assert a < 1e-5 and d < 1e-5
-    assert int(res.num_inliers) == 20
+    assert int(res.num_inliers) == 41
 
 
 def test_pnp_ransac_outliers_noise():
@@ -87,9 +87,9 @@ def test_pnp_ransac_outliers_noise():
     key = jax.random.PRNGKey(7)
     fails = 0
     for seed in range(15):
-        x, y, T = make_scene(40, seed=200 + seed, noise=0.001, outlier_frac=0.5)
+        x, y, T = make_scene(41, seed=200 + seed, noise=0.001, outlier_frac=0.5)
         res = pnp_mod.pnp_ransac(
-            jnp.asarray(x), jnp.asarray(y), jnp.asarray(np.ones(40, bool)),
+            jnp.asarray(x), jnp.asarray(y), jnp.asarray(np.ones(41, bool)),
             jax.random.fold_in(key, seed), threshold=0.005,
         )
         a, d = pose_err(np.asarray(res.T), T)
@@ -132,10 +132,10 @@ def test_pnp_f32():
     ok = 0
     for seed in range(10):
         # mm-scale model points (like BOP meshes) at ~600mm depth
-        x, y, T = make_scene(25, seed=300 + seed, noise=0.0005, scale=100.0)
+        x, y, T = make_scene(41, seed=300 + seed, noise=0.0005, scale=100.0)
         res = pnp_mod.pnp_ransac(
             jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
-            jnp.asarray(np.ones(25, bool)), jax.random.fold_in(key, seed),
+            jnp.asarray(np.ones(41, bool)), jax.random.fold_in(key, seed),
             threshold=0.004,
         )
         a, d = pose_err(np.asarray(res.T, np.float64), T)
@@ -148,13 +148,13 @@ def test_pnp_batch_vmap():
     key = jax.random.PRNGKey(11)
     xs, ys, Ts = [], [], []
     for seed in range(6):
-        x, y, T = make_scene(30, seed=400 + seed, noise=0.0005)
+        x, y, T = make_scene(41, seed=400 + seed, noise=0.0005)
         xs.append(x)
         ys.append(y)
         Ts.append(T)
     res = pnp_mod.pnp_ransac_batch(
         jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(ys)),
-        jnp.asarray(np.ones((6, 30), bool)), key, threshold=0.004,
+        jnp.asarray(np.ones((6, 41), bool)), key, threshold=0.004,
     )
     assert np.asarray(res.success).all()
     for i in range(6):

@@ -85,6 +85,7 @@ def test_load_posecnn_results(bop_layout):
     np.testing.assert_allclose(T[:3, :3], T_gt[:3, :3], atol=1e-6)
 
 
+@pytest.mark.slow  # subprocess e2e (fresh jax import + compile per run)
 def test_debug_saved_only_cli(bop_layout, tmp_path):
     """--debug_saved_only scores the saved detections: GT-equal poses must
     give near-perfect AUC (the reference's metric-code golden check,

@@ -262,3 +262,46 @@ def test_object_removal_on_lost_inliers():
     engine.obj_num_dets[1] = 5  # threshold becomes 6 inliers
     engine.optimize()  # global BA reclassifies, then removal check runs
     assert not engine.obj_active[s], "outlier-only object was not removed"
+
+
+def test_device_mirrors_stay_consistent():
+    """The incremental device mirrors of the bulk measurement buffers must
+    equal the host source-of-truth after every frame and after global BA
+    (a stale mirror silently corrupts the BA problem)."""
+    engine = _make_engine(global_opt_every=3)
+    K, hw, kp, T_obj, cams = make_scene(n_views=6)
+
+    def check():
+        for name in engine._MIRRORED:
+            if name in engine._dev:
+                np.testing.assert_array_equal(
+                    np.asarray(engine._dev[name]), getattr(engine, name),
+                    err_msg=f"device mirror of {name} diverged from host",
+                )
+
+    for i, T_GtoC in enumerate(cams):
+        obj_ids, bboxes, mks, mms, kms, uvs = project_frame(K, hw, kp, T_obj, T_GtoC)
+        engine.process_view(i, IMG, K, obj_ids, bboxes, mks, mms, kms, uv_gt=uvs)
+        check()
+    engine.collect_results(final=True)
+    check()
+    assert any(n in engine._dev for n in engine._MIRRORED), (
+        "mirrors never exercised — the kernels stopped using _dev_buf?"
+    )
+
+
+@pytest.mark.slow  # every capacity doubling recompiles all kernel shapes
+def test_device_mirrors_survive_capacity_growth():
+    """_grow_views/_grow_objects reallocate the host buffers; mirrors must
+    be invalidated and rebuilt at the new shapes."""
+    engine = _make_engine(view_capacity=2, obj_capacity=2)
+    K, hw, kp, T_obj, cams = make_scene(n_views=5)
+    for i, T_GtoC in enumerate(cams):
+        obj_ids, bboxes, mks, mms, kms, uvs = project_frame(K, hw, kp, T_obj, T_GtoC)
+        engine.process_view(i, IMG, K, obj_ids, bboxes, mks, mms, kms, uv_gt=uvs)
+    assert engine.V > 2 and engine.O > 2
+    for name in engine._MIRRORED:
+        if name in engine._dev:
+            np.testing.assert_array_equal(
+                np.asarray(engine._dev[name]), getattr(engine, name)
+            )

@@ -53,3 +53,23 @@ def test_engine_symmetric_prior_feedback_path():
         # provide GT camera pose so priors project from the map
         engine.process_view(i, img, K, obj_ids, bboxes, mks, mms, kms, cam_pose=T)
     assert engine.num_views_processed() == 2
+
+
+@pytest.mark.slow
+def test_engine_int8_inference_path():
+    """SlamConfig.int8_inference: first-frame calibration + int8-resident
+    network inside the engine (needs norm='batch' post_stem nets)."""
+    net = PkpNet(n_stack=1, n_modules=1, features=16, norm="batch")
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    cfg = SlamConfig(
+        input_hw=(64, 64), view_capacity=8, obj_capacity=8,
+        manual_kp_std=0.01, mask_thresh=-1.0, int8_inference=True,
+    )
+    engine = ObjectSlam(cfg, mesh_db=StubMeshDb(8), net=net, params=variables)
+    K, hw, kp, T_obj, cams = make_scene(n_obj=2, n_views=2, seed=3)
+    img = np.random.default_rng(1).uniform(0, 1, (240, 320, 3)).astype(np.float32)
+    for i, T in enumerate(cams):
+        obj_ids, bboxes, mks, mms, kms, uvs = project_frame(K, hw, kp, T_obj, T)
+        engine.process_view(i, img, K, obj_ids, bboxes, mks, mms, kms)
+    res = engine.collect_results(final=True)
+    assert len(res) == 2

@@ -112,6 +112,7 @@ def test_manual_keypoints_viz_cli(bop_root, tmp_path):
     assert (out / "obj_000001.png").exists()
 
 
+@pytest.mark.slow  # subprocess e2e (fresh jax import per run)
 def test_view_sym_choice_cli(bop_root, tmp_path):
     out = tmp_path / "sym.png"
     res = _run(
