@@ -107,11 +107,97 @@ def _edge_chi2(cam_T, obj_T, uv, info, model_kp, cam_k):
     return r, chi2
 
 
+def _edge_planes_Hg(cam_T, obj_T, uv, info, model_kp, cam_k, w):
+    """Per-(v,o) normal-equation blocks from [V,O,K] component PLANES.
+
+    The hot LM path. The naive formulation (`_edge_terms` below, kept as
+    the test oracle) materializes [V,O,K,2,6]/[V,O,K,3,6] tensors whose
+    tiny trailing dims pad to the TPU's (8,128) tile — up to ~50x memory
+    inflation — and runs its small Jacobian matmuls on the MXU in bf16.
+    Here every Jacobian COMPONENT is an explicit [V,O,K] plane (lane dim
+    K, ~3x pad), the 12 J rows stack into one [V*O, 12, 2K] tensor, and
+    H/g come from a single batched MXU contraction over the 2K edge axis.
+    Measured at V=64,O=8,K=41 on v5e: 24.0 -> 1.5 ms per evaluation, and
+    exact f32 (no bf16 matmul noise).
+
+    w: [V,O,K] per-edge weight (inlier mask x Huber IRLS factor), folded
+    into the information here. Returns (H [V,O,12,12], g [V,O,12],
+    chi2 [V,O,K] — chi2 is UNWEIGHTED by w, matching `_edge_chi2`,
+    z [V,O,K]).
+    """
+    V, O = uv.shape[0], uv.shape[1]
+    K = model_kp.shape[1]
+    R_wo, t_wo = obj_T[:, :3, :3], obj_T[:, :3, 3]
+    p_G = jnp.einsum("oij,okj->oki", R_wo, model_kp) + t_wo[:, None, :]  # [O,K,3]
+    R_cw, t_cw = cam_T[:, :3, :3], cam_T[:, :3, 3]
+    pC = jnp.einsum("vij,okj->voki", R_cw, p_G) + t_cw[:, None, None, :]
+    px, py, pz = pC[..., 0], pC[..., 1], pC[..., 2]
+    fx = cam_k[..., 0][..., None]
+    fy = cam_k[..., 1][..., None]
+    cx = cam_k[..., 2][..., None]
+    cy = cam_k[..., 3][..., None]
+    safe_z = jnp.where(jnp.abs(pz) < 1e-12, 1e-12, pz)
+    iz = 1.0 / safe_z
+    ru = uv[..., 0] - (fx * px * iz + cx)
+    rv = uv[..., 1] - (fy * py * iz + cy)
+    w00 = info[..., 0, 0]
+    w01 = info[..., 0, 1]
+    w11 = info[..., 1, 1]
+    chi2 = w00 * ru * ru + 2.0 * w01 * ru * rv + w11 * rv * rv
+
+    # projection-Jacobian planes: Jproj = [[A, 0, B], [0, C, D]]
+    A = fx * iz
+    B = -fx * px * iz * iz
+    C = fy * iz
+    D = -fy * py * iz * iz
+    zero = jnp.zeros_like(A)
+    # camera rows: J_cam[a] = -(Jproj @ [-hat(p_C) | I]) expanded per column
+    Jc0 = (-B * py, B * px - A * pz, A * py, -A, zero, -B)
+    Jc1 = (C * pz - D * py, D * px, -C * px, zero, -C, -D)
+    # object rows: M = Jproj @ R_cw, then -(M @ [-hat(p_G) | I])
+    R = R_cw[:, None, None]  # [V,1,1,3,3] broadcast over (o,k)
+    M0 = tuple(A * R[..., 0, j] + B * R[..., 2, j] for j in range(3))
+    M1 = tuple(C * R[..., 1, j] + D * R[..., 2, j] for j in range(3))
+    gx, gy, gz = (jnp.broadcast_to(p_G[None, ..., i], px.shape) for i in range(3))
+
+    def jobj(M):
+        # -(M @ -hat(g));  -hat(g) = [[0, gz, -gy], [-gz, 0, gx], [gy, -gx, 0]]
+        return (
+            M[1] * gz - M[2] * gy,
+            -(M[0] * gz - M[2] * gx),
+            M[0] * gy - M[1] * gx,
+            -M[0], -M[1], -M[2],
+        )
+
+    rows0 = Jc0 + jobj(M0)  # u-row, 12 planes
+    rows1 = Jc1 + jobj(M1)  # v-row, 12 planes
+    # weighted info components (inlier/Huber weight folded in)
+    v00, v01, v11 = w00 * w, w01 * w, w11 * w
+    # stack to [V*O, 12, 2K] and contract over the fat edge axis on the MXU
+    J0 = jnp.stack(rows0, axis=-2)  # [V,O,12,K]
+    J1 = jnp.stack(rows1, axis=-2)
+    Jcat = jnp.concatenate([J0, J1], axis=-1).reshape(V * O, 12, 2 * K)
+    JW0 = jnp.stack(tuple(a * v00 + b * v01 for a, b in zip(rows0, rows1)), axis=-2)
+    JW1 = jnp.stack(tuple(a * v01 + b * v11 for a, b in zip(rows0, rows1)), axis=-2)
+    JWcat = jnp.concatenate([JW0, JW1], axis=-1).reshape(V * O, 12, 2 * K)
+    H = jnp.einsum(
+        "nik,njk->nij", JWcat, Jcat, preferred_element_type=Jcat.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(V, O, 12, 12)
+    rcat = jnp.concatenate([ru, rv], axis=-1).reshape(V * O, 2 * K)
+    g = jnp.einsum(
+        "nik,nk->ni", JWcat, rcat, preferred_element_type=Jcat.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(V, O, 12)
+    return H, g, chi2, pz
+
+
 def _edge_terms(cam_T, obj_T, uv, info, model_kp, cam_k):
     """Residuals, chi2 and Jacobians for every (v, o, k) edge.
 
-    Returns r [V,O,K,2], chi2 [V,O,K], z [V,O,K], J_cam [V,O,K,2,6],
-    J_obj [V,O,K,2,6].
+    TEST ORACLE / FD-check path (naive tensor form; the LM loop uses
+    `_edge_planes_Hg`). Returns r [V,O,K,2], chi2 [V,O,K], z [V,O,K],
+    J_cam [V,O,K,2,6], J_obj [V,O,K,2,6].
     """
     dtype = cam_T.dtype
     V = cam_T.shape[0]
@@ -207,27 +293,47 @@ def _solve_normal_eq_schur(Hcc, Hoo, Hco, gc, go, cam_free, obj_free, lam):
     gc_s = gc * ic
     go_s = go * io
 
-    # batched camera-block inverses (6x6 Cholesky)
-    Lc = jnp.linalg.cholesky(Hcc_s)  # [V,6,6]
-    Hcc_inv = jax.vmap(
-        lambda L: jax.scipy.linalg.cho_solve((L, True), eye6)
-    )(Lc)
+    # batched camera-block elimination: one Cholesky + ONE pair of batched
+    # triangular solves over a merged RHS [Hco | gc] (a vmapped per-block
+    # cho_solve lowered to thousands of tiny ops and cost ~14 ms at V=64)
+    Lc = jax.lax.linalg.cholesky(Hcc_s)  # [V,6,6]
+    rhs = jnp.concatenate(
+        [Hco_s.transpose(0, 2, 1, 3).reshape(V, 6, 6 * O), gc_s[..., None]],
+        axis=-1,
+    )  # [V,6,6O+1] — rows are the camera-6 dim, columns (o, 6) flattened
+    half = jax.lax.linalg.triangular_solve(
+        Lc, rhs, left_side=True, lower=True
+    )
+    solved = jax.lax.linalg.triangular_solve(
+        Lc, half, left_side=True, lower=True, transpose_a=True
+    )
+    A = solved[..., : 6 * O].reshape(V, 6, O, 6).transpose(0, 2, 1, 3)  # Hcc^-1 Hco
+    y_c = solved[..., -1]                                              # Hcc^-1 gc
 
     # reduced system over objects
-    A = jnp.einsum("vij,vojb->voib", Hcc_inv, Hco_s)           # Hcc^-1 Hco
     S = -jnp.einsum("voia,vpib->oapb", Hco_s, A)               # [O,6,O,6]
     S = S + jnp.einsum(
         "oab,op->oapb", Hoo_s, jnp.eye(O, dtype=dtype)
     )
-    y_c = jnp.einsum("vij,vj->vi", Hcc_inv, gc_s)              # Hcc^-1 gc
     b_o = -go_s + jnp.einsum("voia,vi->oa", Hco_s, y_c)        # [O,6]
 
     S_flat = S.reshape(6 * O, 6 * O) + 1e-9 * jnp.eye(6 * O, dtype=dtype)
-    Ls, lower = jax.scipy.linalg.cho_factor(S_flat, lower=True)
-    d_obj_s = jax.scipy.linalg.cho_solve((Ls, lower), b_o.reshape(-1)).reshape(O, 6)
+    Ls = jax.lax.linalg.cholesky(S_flat)
+    d_obj_s = jax.lax.linalg.triangular_solve(
+        Ls,
+        jax.lax.linalg.triangular_solve(
+            Ls, b_o.reshape(-1, 1), left_side=True, lower=True
+        ),
+        left_side=True, lower=True, transpose_a=True,
+    ).reshape(O, 6)
 
     rhs_c = -gc_s - jnp.einsum("voib,ob->vi", Hco_s, d_obj_s)
-    d_cam_s = jnp.einsum("vij,vj->vi", Hcc_inv, rhs_c)
+    half_c = jax.lax.linalg.triangular_solve(
+        Lc, rhs_c[..., None], left_side=True, lower=True
+    )
+    d_cam_s = jax.lax.linalg.triangular_solve(
+        Lc, half_c, left_side=True, lower=True, transpose_a=True
+    )[..., 0]
 
     d_cam = d_cam_s * ic * mc[:, None]
     d_obj = d_obj_s * io * mo[:, None]
@@ -306,24 +412,22 @@ def optimize(
 
     def lm_iteration(state, use_huber):
         cam_T, obj_T, inl, lam = state
-        r, chi2, z, J_cam, J_obj = _edge_terms(
+        cam_free, obj_free = vertex_masks(inl)
+        # two-pass weight: chi2 from a cheap no-Jacobian evaluation feeds the
+        # Huber IRLS factor, then the plane-based H/g assembly folds it in
+        _, chi2_w = _edge_chi2(
             cam_T, obj_T, problem.uv, problem.info, problem.model_kp, problem.cam_k
         )
-        cam_free, obj_free = vertex_masks(inl)
         w_edge = inl.astype(dtype)
         # Huber IRLS factor: w = 1 if chi2 <= d^2 else d / sqrt(chi2)
         w_h = jnp.where(
-            chi2 <= huber_d**2, 1.0, huber_d / jnp.sqrt(jnp.maximum(chi2, 1e-30))
+            chi2_w <= huber_d**2, 1.0, huber_d / jnp.sqrt(jnp.maximum(chi2_w, 1e-30))
         )
         w = w_edge * jnp.where(use_huber, w_h, 1.0)
-        Wi = problem.info * w[..., None, None]  # [V,O,K,2,2]
-
-        # one [2, 12] Jacobian block per edge -> single H/g contraction,
-        # sliced into the camera/object blocks afterwards
-        J = jnp.concatenate([J_cam, J_obj], axis=-1)  # [V,O,K,2,12]
-        JW = jnp.einsum("vokai,vokab->vokbi", J, Wi)  # [V,O,K,2,12]
-        Hvo = jnp.einsum("vokai,vokaj->voij", JW, J)  # [V,O,12,12]
-        gvo = jnp.einsum("vokai,voka->voi", JW, r)    # [V,O,12]
+        Hvo, gvo, chi2, _z = _edge_planes_Hg(
+            cam_T, obj_T, problem.uv, problem.info, problem.model_kp,
+            problem.cam_k, w,
+        )
         Hcc = jnp.sum(Hvo[..., :6, :6], axis=1)       # [V,6,6]
         Hoo = jnp.sum(Hvo[..., 6:, 6:], axis=0)       # [O,6,6]
         Hco = Hvo[..., :6, 6:]                        # [V,O,6,6]

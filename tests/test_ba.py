@@ -335,3 +335,96 @@ def test_no_cov_information_scaling_semantics():
                      for v in range(nv)])
     # quantified: scaled info recovers a much better pose under outliers
     assert err_s < 0.5 * err_i, (err_s, err_i)
+
+
+def test_edge_planes_Hg_matches_oracle():
+    """The plane-based H/g assembly (the hot LM path) must match the naive
+    tensor oracle `_edge_terms` + einsum assembly exactly in f64."""
+    V, O, K = 4, 2, 5
+    r = np.random.default_rng(0)
+    cam_T = np.tile(np.eye(4), (V, 1, 1))
+    for v in range(V):
+        q, _ = np.linalg.qr(r.normal(size=(3, 3)))
+        cam_T[v, :3, :3] = q * np.sign(np.linalg.det(q))
+        cam_T[v, :3, 3] = r.normal(size=3) * 0.1
+    obj_T = np.tile(np.eye(4), (O, 1, 1))
+    for o in range(O):
+        q, _ = np.linalg.qr(r.normal(size=(3, 3)))
+        obj_T[o, :3, :3] = q * np.sign(np.linalg.det(q))
+        obj_T[o, :3, 3] = [0.3 * o, 0.1, 1.5]
+    uv = r.normal(size=(V, O, K, 2)) * 0.1
+    A = r.normal(size=(V, O, K, 2, 2)) * 0.2
+    info = A @ np.swapaxes(A, -1, -2) + np.eye(2) * 2.0
+    model_kp = r.uniform(-0.05, 0.05, (O, K, 3))
+    cam_k = np.tile(np.asarray([1.2, 1.1, 0.01, 0.02]), (V, O, 1))
+    w = r.uniform(0.2, 1.0, (V, O, K))
+    args = tuple(jnp.asarray(a) for a in (cam_T, obj_T, uv, info, model_kp, cam_k))
+
+    rr, chi2_o, _, J_cam, J_obj = ba._edge_terms(*args)
+    J = jnp.concatenate([J_cam, J_obj], axis=-1)
+    Wi = jnp.asarray(info) * jnp.asarray(w)[..., None, None]
+    JW = jnp.einsum("vokai,vokab->vokbi", J, Wi)
+    H_o = jnp.einsum("vokai,vokaj->voij", JW, J)
+    g_o = jnp.einsum("vokai,voka->voi", JW, rr)
+
+    H_n, g_n, chi2_n, _ = ba._edge_planes_Hg(*args, jnp.asarray(w))
+    scale = float(jnp.max(jnp.abs(H_o)))
+    np.testing.assert_allclose(np.asarray(H_n), np.asarray(H_o), atol=1e-9 * scale)
+    np.testing.assert_allclose(np.asarray(g_n), np.asarray(g_o), atol=1e-10 * scale)
+    np.testing.assert_allclose(np.asarray(chi2_n), np.asarray(chi2_o), atol=1e-10)
+
+
+def test_schur_solver_matches_dense_reference():
+    """Schur-complement solve (incl. the merged-RHS batched triangular
+    solves) must match a dense solve of the full masked damped system."""
+    V, O = 6, 3
+    r = np.random.default_rng(1)
+
+    def spd(n, b):
+        A = r.normal(size=(b, n, n))
+        return jnp.asarray(A @ np.swapaxes(A, -1, -2) + np.eye(n) * (n + 1.0))
+
+    Hcc, Hoo = spd(6, V), spd(6, O)
+    Hco = jnp.asarray(r.normal(size=(V, O, 6, 6)) * 0.2)
+    gc = jnp.asarray(r.normal(size=(V, 6)))
+    go = jnp.asarray(r.normal(size=(O, 6)))
+    cam_free = jnp.asarray([True, True, False, True, True, True])
+    obj_free = jnp.asarray([True, False, True])
+    lam = jnp.asarray(1e-4)
+    d_cam, d_obj, ok = ba._solve_normal_eq_schur(
+        Hcc, Hoo, Hco, gc, go, cam_free, obj_free, lam
+    )
+    assert bool(ok)
+    eye6 = np.eye(6)
+    mc = np.asarray(cam_free, float)
+    mo = np.asarray(obj_free, float)
+
+    def damp(H, m):
+        out = []
+        for i in range(H.shape[0]):
+            d = np.maximum(np.diag(np.asarray(H[i])), 1e-9)
+            out.append(np.asarray(H[i]) + float(lam) * np.diag(d) if m[i] else eye6)
+        return np.stack(out)
+
+    Hcc_d, Hoo_d = damp(Hcc, mc), damp(Hoo, mo)
+    Hco_m = np.asarray(Hco) * mc[:, None, None, None] * mo[None, :, None, None]
+    n = 6 * (V + O)
+    Hf = np.zeros((n, n))
+    gf = np.zeros(n)
+    for v in range(V):
+        Hf[6 * v:6 * v + 6, 6 * v:6 * v + 6] = Hcc_d[v]
+        gf[6 * v:6 * v + 6] = np.asarray(gc)[v] * mc[v]
+    for o in range(O):
+        Hf[6 * V + 6 * o:6 * V + 6 * o + 6, 6 * V + 6 * o:6 * V + 6 * o + 6] = Hoo_d[o]
+        gf[6 * V + 6 * o:6 * V + 6 * o + 6] = np.asarray(go)[o] * mo[o]
+    for v in range(V):
+        for o in range(O):
+            Hf[6 * v:6 * v + 6, 6 * V + 6 * o:6 * V + 6 * o + 6] = Hco_m[v, o]
+            Hf[6 * V + 6 * o:6 * V + 6 * o + 6, 6 * v:6 * v + 6] = Hco_m[v, o].T
+    d = np.linalg.solve(Hf, -gf)
+    np.testing.assert_allclose(
+        np.asarray(d_cam), d[:6 * V].reshape(V, 6) * mc[:, None], atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_obj), d[6 * V:].reshape(O, 6) * mo[:, None], atol=1e-8
+    )
