@@ -95,13 +95,11 @@ class Evaluator:
                     params, self.model_epoch, _ = load_model_only(
                         chkpt_path, template
                     )
-            if int8 and (net is None or net.norm != "batch"
-                         or net.prior_mode != "post_stem"):
+            if int8 and (net is None or net.norm != "batch"):
                 raise SystemExit(
-                    "--int8 requires a norm='batch', prior_mode='post_stem' "
-                    "checkpoint (the int8 executor's supported config); got "
-                    f"norm={getattr(net, 'norm', None)!r}, "
-                    f"prior_mode={getattr(net, 'prior_mode', None)!r}"
+                    "--int8 requires a norm='batch' checkpoint (the int8 "
+                    "executor folds BatchNorm into conv epilogues); got "
+                    f"norm={getattr(net, 'norm', None)!r}"
                 )
             cfg = SlamConfig(
                 sfm_mode=nviews > 1,

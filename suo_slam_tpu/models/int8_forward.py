@@ -37,7 +37,8 @@ Accuracy-critical pieces stay full precision: the 7x7 stem conv input (RGB,
 head, soft-argmax readout and the validity classifier
 (reference hot loop: `lib/object_slam.py:1077-1167`).
 
-Inference only; norm="batch", prior_mode="post_stem".
+Inference only; norm="batch"; prior_mode "post_stem" or "concat"
+(the latter for torch-converted reference checkpoints).
 """
 
 from __future__ import annotations
@@ -300,12 +301,21 @@ def _traverse(eng, variables, images_roi, prior_kp, net):
     s = variables["batch_stats"]["HourglassNet_0"]
     n, h, w, _ = images_roi.shape
     num_kp, features, n_modules = net.num_kp, net.features, net.n_modules
+    concat = net.prior_mode == "concat"
+    phw = (h, w) if concat else (h // 4, w // 4)
     if prior_kp is None:
-        prior_kp = jnp.zeros((n, h // 4, w // 4, num_kp), jnp.float32)
+        prior_kp = jnp.zeros((n,) + phw + (num_kp,), jnp.float32)
 
-    # stem conv stays full precision (3-channel input, tiny traffic)
+    # stem conv stays full precision (3- or 44-channel input; the conv's
+    # traffic is small and its input packing is awkward for the MXU)
+    x_in = images_roi.astype(jnp.float32)
+    if concat:
+        # reference wiring: prior channels concat at FULL resolution before
+        # the stem (`lib/models/pkpnet.py:95-101`); used by torch-converted
+        # checkpoints. ~2x slower than post_stem but weight-compatible.
+        x_in = jnp.concatenate([x_in, prior_kp.astype(jnp.float32)], axis=-1)
     x = jax.lax.conv_general_dilated(
-        images_roi.astype(jnp.float32), p["Conv_0"]["kernel"].astype(jnp.float32),
+        x_in, p["Conv_0"]["kernel"].astype(jnp.float32),
         (2, 2), [(3, 3), (3, 3)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
@@ -317,12 +327,16 @@ def _traverse(eng, variables, images_roi, prior_kp, net):
     act = eng.maxpool(act)
     act = _residual(eng, p["Residual_1"], s["Residual_1"], act, 128)
     act = _residual(eng, p["Residual_2"], s["Residual_2"], act, features)
-    prior_act = eng.quant(prior_kp.astype(jnp.float32))
-    act = eng.quant(
-        eng.dequant(act) + eng.conv_raw(prior_act, p["Conv_1"]), pc=True
-    )
+    if concat:
+        conv_i = 1
+    else:
+        prior_act = eng.quant(prior_kp.astype(jnp.float32))
+        act = eng.quant(
+            eng.dequant(act) + eng.conv_raw(prior_act, p["Conv_1"]), pc=True
+        )
+        conv_i = 2
 
-    conv_i, norm_i, res_i = 2, 1, 3
+    norm_i, res_i = 1, 3
     outs = []
     for i in range(net.n_stack):
         hg = _hourglass(eng, p[f"Hourglass_{i}"], s[f"Hourglass_{i}"], act,
@@ -380,7 +394,7 @@ def _readout(variables, outs, net):
 
 def calibrate(net, variables, batches, prior_batches=None):
     """Run calibration batches; returns the per-point absmax tuple."""
-    assert net.norm == "batch" and net.prior_mode == "post_stem"
+    assert net.norm == "batch" and net.prior_mode in ("post_stem", "concat")
 
     @jax.jit
     def one(x, prior):
@@ -406,7 +420,7 @@ def make_int8_apply(net):
     removed after losing end to end to this XLA path — see BENCHMARKS.md
     "Pallas int8 kernel post-mortem" and git history for the code.)
     """
-    assert net.norm == "batch" and net.prior_mode == "post_stem"
+    assert net.norm == "batch" and net.prior_mode in ("post_stem", "concat")
 
     def apply(variables, scales, images_roi, prior_kp=None):
         eng = _Int8Engine(scales)

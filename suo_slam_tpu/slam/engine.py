@@ -12,10 +12,12 @@ thin host Python; every numeric path is a batched jitted kernel:
 - bundle adjustment: `solvers.ba.optimize` over fixed-capacity [V, O, K]
   measurement buffers (replaces g2o graph build + Cholmod LM entirely)
 
-Graph measurement buffers live in padded numpy mirrors on the host (cheap
-slot writes per frame) and ship to device per optimize call; the solves and
-scoring run fully on device. Capacities auto-grow by power-of-two bucketing,
-so jit caches stay warm.
+Graph measurement buffers live in padded numpy arrays on the host (the
+source of truth for control logic, cheap slot writes per frame) with
+incrementally-synced device mirrors (`_dev_buf`/`_sync_view_row`), so the
+solves and scoring consume device-resident state without re-uploading the
+bulk [V, O, K] buffers per call. Capacities auto-grow by power-of-two
+bucketing, so jit caches stay warm.
 
 Modes (`lib/object_slam.py:70-72`): SLAM (default), SfM (`sfm_mode`, global
 BA every frame), single-view (`single_view_mode`, PnP only + per-view BA
@@ -93,7 +95,7 @@ class SlamConfig:
     # int8-RESIDENT network inference (`models/int8_forward.py`, +10% over
     # bf16 at trained-weight accuracy parity — BENCHMARKS.md). Scales are
     # calibrated on the first processed frame's crops (serving warmup).
-    # Requires norm="batch" + prior_mode="post_stem" nets.
+    # Requires norm="batch" nets (post_stem or concat prior mode).
     int8_inference: bool = False
     seed: int = 666  # reference seeds 666 before eval (`evaluate.py:408`)
 

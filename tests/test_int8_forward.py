@@ -104,3 +104,19 @@ def test_int8_batch_independent(setup):
     np.testing.assert_allclose(
         np.asarray(full.uv[1]), np.asarray(solo.uv[0]), atol=1e-5
     )
+
+
+def test_int8_concat_prior_mode():
+    """concat-prior traversal (torch-converted reference checkpoints): the
+    int8 path must track the flax concat model within PTQ noise and consume
+    the calibration points exactly."""
+    net = PkpNet(prior_mode="concat", **TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    prior = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 64, 41)) * 0.5
+    v = jax.jit(net.init)(jax.random.PRNGKey(1), x[:1])
+    ref = jax.jit(net.apply)(v, x, prior)
+    scales = i8.calibrate(net, v, [x], [prior])
+    out = jax.jit(i8.make_int8_apply(net))(v, scales, x, prior)
+    rms = lambda a: float(jnp.sqrt(jnp.mean(jnp.asarray(a, jnp.float32) ** 2)))
+    rel = rms(out.prob_logits.astype(jnp.float32) - ref.prob_logits) / rms(ref.prob_logits)
+    assert rel < 0.08, f"concat logits rel RMS {rel}"

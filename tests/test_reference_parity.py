@@ -571,3 +571,59 @@ def test_get_raw_prior_matches_reference(parity_bop_root, monkeypatch):
             )
     finally:
         np.random.normal = real_normal
+
+
+# ---------------------------------------------------------------------------
+# Augmentations: the K-corrected scale/rotate warp
+# ---------------------------------------------------------------------------
+def test_scale_and_rotate_matches_reference(monkeypatch):
+    """Same random draws -> same warp/K fixup vs `NpScaleAndRotate`
+    (`lib/datasets/augmentations.py:41-77`).
+
+    Documented deviations: (1) we build the warp matrix in f64 (the
+    reference casts to f32; <= 1 LSB pixel difference); (2) the reference
+    passes cv2 interpolation flags in warpAffine's `dst` POSITIONAL slot,
+    so they are silently ignored and its depth warp is INTER_LINEAR — we
+    deliberately use flags=INTER_NEAREST for depth (no cross-surface
+    blending), so depth is compared on a smooth field with tolerance."""
+    cv2 = pytest.importorskip("cv2")
+    ref_augs = reference_oracle.load("lib.datasets.augmentations")
+    from suo_slam_tpu.data.augmentations import ScaleAndRotate
+
+    rng = np.random.default_rng(3)
+    img = (rng.uniform(0, 255, (120, 160, 3))).astype(np.uint8)
+    yy, xx = np.mgrid[0:120, 0:160]
+    depth = (1.0 + 0.002 * xx + 0.001 * yy).astype(np.float32)  # smooth
+    bboxes = np.asarray([[10.0, 20, 60, 90], [40, 10, 150, 100]], np.float32)
+    K = np.asarray([[300.0, 0, 80], [0, 310.0, 60], [0, 0, 1]])
+
+    class FixedRng:
+        def __init__(self, seq):
+            self.seq = list(seq)
+
+        def uniform(self, *a, **k):
+            return self.seq.pop(0)
+
+    # reference consumes np.random.uniform(lo, hi) for scale/angle and
+    # np.random.uniform(0, 1) for the flip — feed it the same sequence
+    seq_ref = [1.23, -3.1, 0.2]
+
+    def fake_uniform(*a, **k):
+        return seq_ref.pop(0)
+
+    monkeypatch.setattr(ref_augs.np.random, "uniform", fake_uniform)
+    im_r, d_r, bb_r, K_r = ref_augs.NpScaleAndRotate()(
+        img.copy(), depth.copy(), bboxes.copy(), K.copy()
+    )
+
+    ours = ScaleAndRotate()
+    im_o, d_o, bb_o, K_o = ours(FixedRng([1.23, -3.1, 0.2]), img.copy(),
+                                depth.copy(), bboxes.copy(), K.copy())
+
+    diff = np.abs(im_o.astype(int) - im_r.astype(int))
+    assert diff.max() <= 2, f"image max diff {diff.max()}"
+    # smooth field: nearest vs (accidentally) linear agree to the local slope
+    inside = (d_r > 0) & (d_o > 0)
+    np.testing.assert_allclose(d_o[inside], d_r[inside], atol=5e-3)
+    np.testing.assert_allclose(bb_o, bb_r, atol=1e-3)
+    np.testing.assert_allclose(K_o, K_r, atol=1e-3)
