@@ -148,6 +148,38 @@ def main():
     print(f"per-frame tracking solve (PnP + camRANSAC + tracking BA): "
           f"{1e3 * total:.3f} ms on-device  (north star < 2 ms)")
 
+    # full per-frame SLAM step: keypoint network (int8-resident, 8 crops) +
+    # the solver chain above — the single-chip tracking-rate headline
+    from suo_slam_tpu.models import PkpNet
+    from suo_slam_tpu.models import int8_forward as i8
+
+    net = PkpNet(dtype=jnp.bfloat16)
+    crops = jnp.asarray(rng.uniform(0, 1, (O, 256, 256, 3)), jnp.float32)
+    ph, pw = net.prior_hw((256, 256))
+    prior = jnp.zeros((O, ph, pw, 41), jnp.float32)
+    variables = jax.jit(net.init)(jax.random.PRNGKey(1), crops[:1])
+    scales = i8.calibrate(net, variables, [crops], [prior])
+    apply_i8 = i8.make_int8_apply(net)
+
+    def chain_net():
+        @jax.jit
+        def fn():
+            def body(i, carry):
+                c, acc = carry
+                out = apply_i8(variables, scales, c, prior)
+                acc = acc + jnp.sum(out.uv) + jnp.sum(out.kp_mask)
+                return c + 1e-12 * acc, acc
+
+            _, acc = jax.lax.fori_loop(0, CHAIN, body, (crops, jnp.float32(0)))
+            return acc
+
+        return fn
+
+    t_net = timeit_chained("PkpNet int8 forward (8 crops, latency mode)", chain_net, rtt)
+    print(f"FULL per-frame SLAM step (net + solvers): "
+          f"{1e3 * (total + t_net):.2f} ms on-device = "
+          f"{1.0 / (total + t_net):.0f} tracked frames/sec/chip")
+
 
 if __name__ == "__main__":
     main()
