@@ -381,7 +381,11 @@ def _readout(variables, outs, net):
     if net.transpose_heatmaps:
         raw = jnp.swapaxes(raw, 1, 2)
     uv, cov, prob = hm.soft_argmax_from_logits(raw, calc_cov=net.calc_cov)
-    pooled = jnp.mean(raw, axis=(1, 2))
+    # validity head stays full precision: accumulate the spatial mean in f32
+    # even when the logits are stored bf16 (a bf16 reduction over 4096
+    # elements carries ~1e-2 error — enough to flip kp_mask near the 0.3
+    # threshold)
+    pooled = jnp.mean(raw.astype(jnp.float32), axis=(1, 2))
     y = jnp.maximum(pooled, 0.0)
     dp = variables["params"]["Dense_0"]
     logits = y @ dp["kernel"] + dp["bias"]

@@ -260,14 +260,31 @@ def make_frame_inference(net, variables, input_hw=(256, 256), int8=False):
     state = {}
 
     @jax.jit
-    def run_i8(scales, crops, prior):
+    def run_i8(scales, img, boxes, obj_valid, prior_uv, prior_valid):
+        # single fused dispatch per frame (ROI + prior render + int8 net),
+        # matching the bf16 branch
+        crops, prior = stage(img, boxes, obj_valid, prior_uv, prior_valid)
         out = apply_i8(variables, scales, crops, prior)
         return out.uv, out.cov, out.kp_mask
 
     def fn(img, boxes, obj_valid, prior_uv, prior_valid):
-        crops, prior = stage_j(img, boxes, obj_valid, prior_uv, prior_valid)
         if "scales" not in state:
-            state["scales"] = i8.calibrate(net, variables, [crops], [prior])
-        return run_i8(state["scales"], crops, prior)
+            crops, prior = stage_j(img, boxes, obj_valid, prior_uv, prior_valid)
+            # The first frame never has prior detections (no object has a map
+            # pose yet), so its rendered prior is all-zero — calibrating the
+            # prior quant point on it would collapse that scale to ~1e-8 and
+            # silently erase all later prior feedback. Calibrate with a
+            # worst-case prior instead: peak-1 Gaussians on every channel
+            # (the prior's value range is [0, 1] by construction,
+            # `ops/heatmap.py render_prior_heatmaps`).
+            k = prior.shape[-1]
+            full_uv = jnp.zeros((prior.shape[0], k, 2), prior.dtype)
+            full_prior = hm.render_prior_heatmaps(
+                full_uv, jnp.ones((prior.shape[0], k), bool), hw=phw,
+                sigma_px=hm.prior_sigma_for(phw),
+            ).astype(prior.dtype)
+            state["scales"] = i8.calibrate(net, variables, [crops], [full_prior])
+        return run_i8(state["scales"], img, boxes, obj_valid, prior_uv,
+                      prior_valid)
 
     return fn

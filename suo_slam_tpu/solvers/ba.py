@@ -89,25 +89,43 @@ def _reorthonormalize(T: jax.Array) -> jax.Array:
     return T.at[..., :3, :3].set(R)
 
 
-def _edge_chi2(cam_T, obj_T, uv, info, model_kp, cam_k):
-    """Residuals + chi2 only (no Jacobians) — the cheap cost-evaluation path
-    used for LM step acceptance and reclassification."""
+def _project_planes(cam_T, obj_T, uv, model_kp, cam_k):
+    """Shared pinhole projection as [V,O,K] component planes.
+
+    The single home of the projection model (z clamp, NDC K convention) for
+    the LM loop — `_edge_chi2` and `_edge_planes_Hg` both build on it, so
+    the robust weights can never desynchronize from the H/g assembly.
+    Returns (p_G [O,K,3], px, py, pz, iz, ru, rv)."""
     R_wo = obj_T[:, :3, :3]
     t_wo = obj_T[:, :3, 3]
     p_G = jnp.einsum("oij,okj->oki", R_wo, model_kp) + t_wo[:, None, :]
     R_cw = cam_T[:, :3, :3]
     t_cw = cam_T[:, :3, 3]
     p_C = jnp.einsum("vij,okj->voki", R_cw, p_G) + t_cw[:, None, None, :]
-    z = p_C[..., 2]
-    iz = 1.0 / jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
-    u_est = cam_k[..., 0][..., None] * p_C[..., 0] * iz + cam_k[..., 2][..., None]
-    v_est = cam_k[..., 1][..., None] * p_C[..., 1] * iz + cam_k[..., 3][..., None]
-    r = uv - jnp.stack([u_est, v_est], axis=-1)
-    chi2 = jnp.einsum("voki,vokij,vokj->vok", r, info, r)
-    return r, chi2
+    px, py, pz = p_C[..., 0], p_C[..., 1], p_C[..., 2]
+    iz = 1.0 / jnp.where(jnp.abs(pz) < 1e-12, 1e-12, pz)
+    ru = uv[..., 0] - (cam_k[..., 0][..., None] * px * iz + cam_k[..., 2][..., None])
+    rv = uv[..., 1] - (cam_k[..., 1][..., None] * py * iz + cam_k[..., 3][..., None])
+    return p_G, px, py, pz, iz, ru, rv
 
 
-def _edge_planes_Hg(cam_T, obj_T, uv, info, model_kp, cam_k, w):
+def _chi2_from_planes(ru, rv, info):
+    """chi2 for SYMMETRIC 2x2 information (info is an inverse covariance /
+    identity by construction, so w01 == w10)."""
+    return (info[..., 0, 0] * ru * ru + 2.0 * info[..., 0, 1] * ru * rv
+            + info[..., 1, 1] * rv * rv)
+
+
+def _edge_chi2(cam_T, obj_T, uv, info, model_kp, cam_k):
+    """Residuals + chi2 only (no Jacobians) — the cheap cost-evaluation path
+    used for LM step acceptance and reclassification."""
+    _, _, _, _, _, ru, rv = _project_planes(cam_T, obj_T, uv, model_kp, cam_k)
+    r = jnp.stack([ru, rv], axis=-1)
+    return r, _chi2_from_planes(ru, rv, info)
+
+
+def _edge_planes_Hg(cam_T, obj_T, uv, info, model_kp, cam_k, w=None, *,
+                    inl=None, use_huber=None, huber_d=None):
     """Per-(v,o) normal-equation blocks from [V,O,K] component PLANES.
 
     The hot LM path. The naive formulation (`_edge_terms` below, kept as
@@ -121,29 +139,30 @@ def _edge_planes_Hg(cam_T, obj_T, uv, info, model_kp, cam_k, w):
     exact f32 (no bf16 matmul noise).
 
     w: [V,O,K] per-edge weight (inlier mask x Huber IRLS factor), folded
-    into the information here. Returns (H [V,O,12,12], g [V,O,12],
+    into the information here. Pass w=None with (inl, use_huber, huber_d)
+    instead to derive the Huber IRLS weight from this SAME evaluation's
+    chi2 — that is the LM loop's path and saves a second full projection
+    pass per iteration. Returns (H [V,O,12,12], g [V,O,12],
     chi2 [V,O,K] — chi2 is UNWEIGHTED by w, matching `_edge_chi2`,
     z [V,O,K]).
     """
     V, O = uv.shape[0], uv.shape[1]
     K = model_kp.shape[1]
-    R_wo, t_wo = obj_T[:, :3, :3], obj_T[:, :3, 3]
-    p_G = jnp.einsum("oij,okj->oki", R_wo, model_kp) + t_wo[:, None, :]  # [O,K,3]
-    R_cw, t_cw = cam_T[:, :3, :3], cam_T[:, :3, 3]
-    pC = jnp.einsum("vij,okj->voki", R_cw, p_G) + t_cw[:, None, None, :]
-    px, py, pz = pC[..., 0], pC[..., 1], pC[..., 2]
+    p_G, px, py, pz, iz, ru, rv = _project_planes(cam_T, obj_T, uv, model_kp, cam_k)
+    R_cw = cam_T[:, :3, :3]
     fx = cam_k[..., 0][..., None]
     fy = cam_k[..., 1][..., None]
-    cx = cam_k[..., 2][..., None]
-    cy = cam_k[..., 3][..., None]
-    safe_z = jnp.where(jnp.abs(pz) < 1e-12, 1e-12, pz)
-    iz = 1.0 / safe_z
-    ru = uv[..., 0] - (fx * px * iz + cx)
-    rv = uv[..., 1] - (fy * py * iz + cy)
     w00 = info[..., 0, 0]
     w01 = info[..., 0, 1]
     w11 = info[..., 1, 1]
-    chi2 = w00 * ru * ru + 2.0 * w01 * ru * rv + w11 * rv * rv
+    chi2 = _chi2_from_planes(ru, rv, info)
+    if w is None:
+        # Huber IRLS factor from THIS evaluation's chi2
+        w_h = jnp.where(
+            chi2 <= huber_d**2, 1.0,
+            huber_d / jnp.sqrt(jnp.maximum(chi2, 1e-30)),
+        )
+        w = inl.astype(ru.dtype) * jnp.where(use_huber, w_h, 1.0)
 
     # projection-Jacobian planes: Jproj = [[A, 0, B], [0, C, D]]
     A = fx * iz
@@ -413,20 +432,11 @@ def optimize(
     def lm_iteration(state, use_huber):
         cam_T, obj_T, inl, lam = state
         cam_free, obj_free = vertex_masks(inl)
-        # two-pass weight: chi2 from a cheap no-Jacobian evaluation feeds the
-        # Huber IRLS factor, then the plane-based H/g assembly folds it in
-        _, chi2_w = _edge_chi2(
-            cam_T, obj_T, problem.uv, problem.info, problem.model_kp, problem.cam_k
-        )
-        w_edge = inl.astype(dtype)
-        # Huber IRLS factor: w = 1 if chi2 <= d^2 else d / sqrt(chi2)
-        w_h = jnp.where(
-            chi2_w <= huber_d**2, 1.0, huber_d / jnp.sqrt(jnp.maximum(chi2_w, 1e-30))
-        )
-        w = w_edge * jnp.where(use_huber, w_h, 1.0)
+        # single edge evaluation: the Huber IRLS weight derives from the same
+        # projection pass that assembles H/g (w = inl * huber(chi2))
         Hvo, gvo, chi2, _z = _edge_planes_Hg(
             cam_T, obj_T, problem.uv, problem.info, problem.model_kp,
-            problem.cam_k, w,
+            problem.cam_k, inl=inl, use_huber=use_huber, huber_d=huber_d,
         )
         Hcc = jnp.sum(Hvo[..., :6, :6], axis=1)       # [V,6,6]
         Hoo = jnp.sum(Hvo[..., 6:, 6:], axis=0)       # [O,6,6]

@@ -73,3 +73,33 @@ def test_engine_int8_inference_path():
         engine.process_view(i, img, K, obj_ids, bboxes, mks, mms, kms)
     res = engine.collect_results(final=True)
     assert len(res) == 2
+
+
+@pytest.mark.slow
+def test_int8_frame_inference_prior_not_erased_by_first_frame_calibration():
+    """Regression: the first frame never has prior detections, so its
+    rendered prior is all-zero; calibrating the prior quant scale on it
+    collapsed the scale to ~1e-8 and erased all later prior feedback. The
+    calibration must use a worst-case (peak-1) prior instead, so a prior
+    supplied on a LATER frame still changes the network output."""
+    from suo_slam_tpu.slam import kernels
+
+    net = PkpNet(n_stack=1, n_modules=1, features=16, norm="batch")
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    fn = kernels.make_frame_inference(net, variables, (64, 64), int8=True)
+
+    img = np.random.default_rng(0).uniform(0, 1, (120, 160, 3)).astype(np.float32)
+    boxes = jnp.asarray([[10.0, 10, 100, 100]], jnp.float32)
+    valid = jnp.ones((1,), bool)
+    no_prior = (jnp.zeros((1, 41, 2)), jnp.zeros((1, 41), bool))
+    with_prior = (jnp.full((1, 41, 2), 0.1), jnp.ones((1, 41), bool))
+
+    # frame 1: zero prior (this is what calibration sees)
+    uv0, _, _ = fn(jnp.asarray(img), boxes, valid, *no_prior)
+    # frame 2: real prior must influence the output
+    uv1, _, _ = fn(jnp.asarray(img), boxes, valid, *with_prior)
+    uv0b, _, _ = fn(jnp.asarray(img), boxes, valid, *no_prior)
+    np.testing.assert_allclose(np.asarray(uv0), np.asarray(uv0b), atol=1e-6)
+    assert not np.allclose(np.asarray(uv0), np.asarray(uv1), atol=1e-4), (
+        "prior input had no effect — quant scale collapsed?"
+    )
