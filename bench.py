@@ -55,7 +55,7 @@ def main():
     if path == "int8":
         from suo_slam_tpu.models import int8_forward as i8
 
-        scales = i8.calibrate(net, variables, [x0f], [prior[:8]])
+        scales = i8.calibrate(net, variables, [x0f])  # worst-case ones prior
         apply_fn = lambda v, xi, p: i8.make_int8_apply(net)(v, scales, xi, p)
     else:
         apply_fn = lambda v, xi, p: net.apply(v, xi, p)

@@ -129,8 +129,7 @@ def main():
             if limit is not None and n_done >= limit:
                 break
             n_done += 1
-            test_ds = dset
-            obj_ids = test_ds.obj_ids(scene, view)
+                obj_ids = test_ds.obj_ids(scene, view)
             raw = test_ds.get_raw(scene, view, obj_ids, p_give_prior=0.0)
             img = jnp.asarray(raw["img"][None])
             boxes = jnp.asarray(raw["bboxes"][None])

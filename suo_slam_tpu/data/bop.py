@@ -107,7 +107,12 @@ class BopDataset:
         # loader thread gets its own deterministic stream (seed + thread
         # index), matching the reference's per-worker seeding
         # (`train.py:321` worker_init_fn).
-        self._seed = 0 if seed is None else int(seed)
+        # seed=None keeps OS-entropy semantics (a fresh random base per
+        # instance) while staying an int for the per-index stream derivation
+        self._seed = (
+            int(np.random.SeedSequence().entropy % (2**31))
+            if seed is None else int(seed)
+        )
         self._tls = threading.local()
         self._thread_counter = itertools.count()
 

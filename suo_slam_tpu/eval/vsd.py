@@ -65,16 +65,20 @@ def vsd_error(
     T_gt: np.ndarray,
     delta: float = VSD_DELTA,
     tau: float = VSD_TAU,
+    dist_test: np.ndarray | None = None,
 ) -> float:
     """e_VSD for one estimate. Returns 1.0 when nothing is visible.
 
     All three images are converted to distance images first, exactly like the
     toolkit (`pose_error.py:47-50`); masks and the tau test run on distances.
+    `dist_test`: pass the precomputed distance image of `d_test` (from
+    `depth_to_dist`) to skip the per-call reconversion when scoring many
+    estimates against the same view.
     """
     hw = d_test.shape
     d_est = depth_to_dist(render.render_depth(verts, faces, K, T_est, hw), K)
     d_gt = depth_to_dist(render.render_depth(verts, faces, K, T_gt, hw), K)
-    d_test = depth_to_dist(d_test, K)
+    d_test = depth_to_dist(d_test, K) if dist_test is None else dist_test
     v_gt = estimate_visib_mask(d_test, d_gt, delta)
     v_est = estimate_visib_mask(d_test, d_est, delta, base=v_gt)
     union = v_gt | v_est
@@ -124,6 +128,7 @@ def run_vsd_eval(
         for view_id in dataset.view_ids(scene_id):
             d_test = dataset.read_depth(scene_id, view_id)
             K = dataset.data[scene_id][view_id].K
+            dist_test = depth_to_dist(d_test, K)  # once per view, not per est
             for obj_id in dataset.obj_ids(scene_id, view_id):
                 if not dataset.is_target(scene_id, view_id, obj_id):
                     continue
@@ -137,6 +142,7 @@ def run_vsd_eval(
                     mesh_db.verts_full[obj_id],
                     mesh_db.faces[obj_id],
                     K, est[1], T_gt, delta, tau,
+                    dist_test=dist_test,
                 )
                 per_obj_hits.setdefault(obj_id, []).append(int(e < correct_th))
 

@@ -32,10 +32,12 @@ with a recording engine and returns the per-point absmax tuple; point
 identity is the sequential order of materialization, shared by construction
 between the calib and int8 engines.
 
-Accuracy-critical pieces stay full precision: the 7x7 stem conv input (RGB,
-3 channels — negligible traffic, awkward MXU packing), the heatmap-logits
-head, soft-argmax readout and the validity classifier
-(reference hot loop: `lib/object_slam.py:1077-1167`).
+Accuracy-critical pieces staying full precision: the 7x7 stem conv (small
+traffic, awkward MXU packing) and the softmax/soft-argmax + validity
+readout (f32 internals, `ops/heatmap.py`). The heatmap-logits HEAD conv
+does run through the engine — its input is already int8 and the extra
+per-channel 8-bit weight noise measured an order below the activation
+quantization noise (reference hot loop: `lib/object_slam.py:1077-1167`).
 
 Inference only; norm="batch"; prior_mode "post_stem" or "concat"
 (the latter for torch-converted reference checkpoints).
@@ -397,7 +399,15 @@ def _readout(variables, outs, net):
 
 
 def calibrate(net, variables, batches, prior_batches=None):
-    """Run calibration batches; returns the per-point absmax tuple."""
+    """Run calibration batches; returns the per-point absmax tuple.
+
+    prior_batches=None calibrates with a WORST-CASE all-ones prior (the
+    prior's value range is [0, 1] by construction — peak-1 Gaussians,
+    `ops/heatmap.py`). Calibrating on a zero prior would record absmax 0
+    for the prior quant point and collapse its scale to ~1e-8, silently
+    clipping every real prior to noise at inference. Pass real prior
+    batches for tighter (per-channel-representative) scales.
+    """
     assert net.norm == "batch" and net.prior_mode in ("post_stem", "concat")
 
     @jax.jit
@@ -408,7 +418,11 @@ def calibrate(net, variables, batches, prior_batches=None):
 
     scales = None
     for i, x in enumerate(batches):
-        prior = None if prior_batches is None else prior_batches[i]
+        if prior_batches is None:
+            ph, pw = net.prior_hw(x.shape[1:3])
+            prior = jnp.ones((x.shape[0], ph, pw, net.num_kp), jnp.float32)
+        else:
+            prior = prior_batches[i]
         s = one(x, prior)
         scales = s if scales is None else jax.tree.map(jnp.maximum, scales, s)
     return scales

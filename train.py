@@ -95,27 +95,47 @@ class ConcatLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         SENTINEL = object()
+        stop = threading.Event()
+
+        def put(item):
+            # bounded-blocking put that aborts if the consumer went away —
+            # otherwise an early `break` out of the epoch would leave the
+            # producer (and its worker pool + prefetched batches) pinned
+            # forever on a full queue
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 with ThreadPoolExecutor(self.workers) as ex:
                     for idx, cseed in batches:
+                        if stop.is_set():
+                            return
                         samples = list(ex.map(lambda i: self.sample(int(i)), idx))
-                        q.put(collate(samples, truncate_obj=self.truncate_obj,
-                                      seed=cseed))
-                q.put(SENTINEL)
+                        if not put(collate(samples, truncate_obj=self.truncate_obj,
+                                           seed=cseed)):
+                            return
+                put(SENTINEL)
             except BaseException as e:  # surfaced in the consumer
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is SENTINEL:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
 
 def to_device_batch(np_batch, o_pad=None):
