@@ -129,8 +129,8 @@ def main():
             if limit is not None and n_done >= limit:
                 break
             n_done += 1
-                obj_ids = test_ds.obj_ids(scene, view)
-            raw = test_ds.get_raw(scene, view, obj_ids, p_give_prior=0.0)
+            obj_ids = dset.obj_ids(scene, view)
+            raw = dset.get_raw(scene, view, obj_ids, p_give_prior=0.0)
             img = jnp.asarray(raw["img"][None])
             boxes = jnp.asarray(raw["bboxes"][None])
             omask = jnp.ones((1, len(obj_ids)), bool)

@@ -92,7 +92,7 @@ class SlamConfig:
     pnp_hypotheses: int = 64
     reinit_check_views: int = 15
     input_hw: tuple[int, int] = (256, 256)
-    # int8-RESIDENT network inference (`models/int8_forward.py`, +10% over
+    # int8-RESIDENT network inference (`models/int8_forward.py`, +66% over
     # bf16 at trained-weight accuracy parity — BENCHMARKS.md). Scales are
     # calibrated on the first processed frame's crops (serving warmup).
     # Requires norm="batch" nets (post_stem or concat prior mode).
