@@ -159,6 +159,7 @@ def main():
     prior = jnp.zeros((O, ph, pw, 41), jnp.float32)
     variables = jax.jit(net.init)(jax.random.PRNGKey(1), crops[:1])
     scales = i8.calibrate(net, variables, [crops], [prior])
+    variables = i8.quantize_weights(net, variables)  # as the engine does
     apply_i8 = i8.make_int8_apply(net)
 
     def chain_net():

@@ -198,8 +198,13 @@ class _Int8Engine:
     def _conv_i8(self, a: QT, p, strides, padding):
         assert a.s.ndim == 0, "conv inputs must be per-tensor quantized"
         kernel = p["kernel"]
-        s_w = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12) / 127.0
-        wq = jnp.clip(jnp.round(kernel / s_w), -127, 127).astype(jnp.int8)
+        if kernel.dtype == jnp.int8:
+            # pre-quantized tree from `quantize_weights` — skips the per-call
+            # absmax/round/clip over every kernel (bit-identical results)
+            wq, s_w = kernel, p["kernel_scale"]
+        else:
+            s_w = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12) / 127.0
+            wq = jnp.clip(jnp.round(kernel / s_w), -127, 127).astype(jnp.int8)
         # bf16 accumulation: rel RMS vs exact int32 accum measured 1.7e-3 —
         # an order below the int8 quantization noise itself — and it halves
         # the epilogue's element width.
@@ -426,6 +431,40 @@ def calibrate(net, variables, batches, prior_batches=None):
         s = one(x, prior)
         scales = s if scales is None else jax.tree.map(jnp.maximum, scales, s)
     return scales
+
+
+def quantize_weights(net, variables):
+    """Pre-quantize every engine-consumed conv kernel to (s8 codes,
+    per-out-channel scale) — bit-identical outputs to on-the-fly
+    quantization (`_conv_i8` detects the s8 dtype), but the per-call
+    absmax/round/clip over ~13M weights disappears from the traced forward
+    (it cannot constant-fold: `variables` is a traced jit argument).
+
+    Returns a NEW variables dict for `make_int8_apply` ONLY — the stem conv
+    (full-precision by design) and non-conv params are untouched, but
+    `net.apply` / `calibrate` need the original f32 weights.
+    """
+    assert net.norm == "batch"
+    import copy
+
+    variables = copy.deepcopy(jax.tree.map(lambda x: x, variables))
+
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return
+        k = node.get("kernel")
+        if k is not None and getattr(k, "ndim", 0) == 4 and k.dtype != jnp.int8:
+            if path[-2:] == ("HourglassNet_0", "Conv_0"):
+                return  # the full-precision stem
+            s_w = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)), 1e-12) / 127.0
+            node["kernel"] = jnp.clip(jnp.round(k / s_w), -127, 127).astype(jnp.int8)
+            node["kernel_scale"] = s_w
+            return
+        for name, child in node.items():
+            walk(child, path + (name,))
+
+    walk(variables["params"], ())
+    return variables
 
 
 def make_int8_apply(net):

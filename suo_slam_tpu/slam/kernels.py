@@ -260,11 +260,11 @@ def make_frame_inference(net, variables, input_hw=(256, 256), int8=False):
     state = {}
 
     @jax.jit
-    def run_i8(scales, img, boxes, obj_valid, prior_uv, prior_valid):
+    def run_i8(variables_q, scales, img, boxes, obj_valid, prior_uv, prior_valid):
         # single fused dispatch per frame (ROI + prior render + int8 net),
-        # matching the bf16 branch
+        # matching the bf16 branch; weights arrive pre-quantized
         crops, prior = stage(img, boxes, obj_valid, prior_uv, prior_valid)
-        out = apply_i8(variables, scales, crops, prior)
+        out = apply_i8(variables_q, scales, crops, prior)
         return out.uv, out.cov, out.kp_mask
 
     def fn(img, boxes, obj_valid, prior_uv, prior_valid):
@@ -284,7 +284,8 @@ def make_frame_inference(net, variables, input_hw=(256, 256), int8=False):
                 sigma_px=hm.prior_sigma_for(phw),
             ).astype(prior.dtype)
             state["scales"] = i8.calibrate(net, variables, [crops], [full_prior])
-        return run_i8(state["scales"], img, boxes, obj_valid, prior_uv,
-                      prior_valid)
+            state["vq"] = i8.quantize_weights(net, variables)
+        return run_i8(state["vq"], state["scales"], img, boxes, obj_valid,
+                      prior_uv, prior_valid)
 
     return fn

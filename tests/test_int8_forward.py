@@ -120,3 +120,28 @@ def test_int8_concat_prior_mode():
     rms = lambda a: float(jnp.sqrt(jnp.mean(jnp.asarray(a, jnp.float32) ** 2)))
     rel = rms(out.prob_logits.astype(jnp.float32) - ref.prob_logits) / rms(ref.prob_logits)
     assert rel < 0.08, f"concat logits rel RMS {rel}"
+
+
+def test_quantize_weights_bit_identical(setup):
+    """Pre-quantized weight trees must produce BIT-identical outputs to
+    on-the-fly weight quantization under the same execution mode.
+
+    (Compared EAGERLY: when the quantization runs inside a jitted graph,
+    XLA's fast-math lowering of round(kernel / s_w) can flip codes at tie
+    boundaries vs the eager op-by-op result — the pre-quantized tree is
+    actually the deterministic one, matching the eager definition in both
+    modes.)"""
+    net, v, x, prior, _, scales = setup[:6]
+    vq = i8.quantize_weights(net, v)
+    # stem kernel untouched, engine conv kernels s8
+    assert vq["params"]["HourglassNet_0"]["Conv_0"]["kernel"].dtype != jnp.int8
+    r0 = vq["params"]["HourglassNet_0"]["Residual_0"]
+    assert r0["Conv_0"]["kernel"].dtype == jnp.int8
+    ap = i8.make_int8_apply(net)  # eager
+    out = ap(v, scales, x, prior)
+    out_q = ap(vq, scales, x, prior)
+    np.testing.assert_array_equal(
+        np.asarray(out.prob_logits, np.float32),
+        np.asarray(out_q.prob_logits, np.float32),
+    )
+    np.testing.assert_array_equal(np.asarray(out.uv), np.asarray(out_q.uv))
