@@ -56,7 +56,7 @@ def main():
         from suo_slam_tpu.models import int8_forward as i8
 
         scales = i8.calibrate(net, variables, [x0f])  # worst-case ones prior
-        variables = i8.quantize_weights(net, variables)
+        variables = i8.quantize_weights(net, variables)  # s8 kernels for the int8 path
         apply_fn = lambda v, xi, p: i8.make_int8_apply(net)(v, scales, xi, p)
     else:
         apply_fn = lambda v, xi, p: net.apply(v, xi, p)

@@ -130,6 +130,11 @@ class _CalibEngine:
     def conv_raw(self, a, p, strides=(1, 1), padding="SAME"):
         """conv + bias as virtual f32 (consumed by an add junction)."""
         assert not a.pc, "conv inputs must be per-tensor quantized"
+        assert p["kernel"].dtype != jnp.int8, (
+            "calibration/f32 reference needs the ORIGINAL f32 weights — this "
+            "tree came from quantize_weights (s8 codes would be used as "
+            "weights, silently mis-scaling everything downstream)"
+        )
         y = jax.lax.conv_general_dilated(
             a.x.astype(jnp.float32), p["kernel"].astype(jnp.float32),
             strides, padding,
@@ -153,6 +158,14 @@ class _CalibEngine:
 
     def upsample_add(self, up1, low):
         return up1.x + _upsample2x_q(low.x)
+
+
+def _quantize_kernel(kernel):
+    """Per-out-channel s8 weight quantization — the ONE definition shared by
+    on-the-fly `_conv_i8` and `quantize_weights` (bit-identical contract)."""
+    s_w = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(kernel / s_w), -127, 127).astype(jnp.int8)
+    return wq, s_w
 
 
 class _Int8Engine:
@@ -203,8 +216,7 @@ class _Int8Engine:
             # absmax/round/clip over every kernel (bit-identical results)
             wq, s_w = kernel, p["kernel_scale"]
         else:
-            s_w = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12) / 127.0
-            wq = jnp.clip(jnp.round(kernel / s_w), -127, 127).astype(jnp.int8)
+            wq, s_w = _quantize_kernel(kernel)
         # bf16 accumulation: rel RMS vs exact int32 accum measured 1.7e-3 —
         # an order below the int8 quantization noise itself — and it halves
         # the epilogue's element width.
@@ -445,9 +457,9 @@ def quantize_weights(net, variables):
     `net.apply` / `calibrate` need the original f32 weights.
     """
     assert net.norm == "batch"
-    import copy
-
-    variables = copy.deepcopy(jax.tree.map(lambda x: x, variables))
+    # tree.map rebuilds every dict container, so mutating the copy's nodes
+    # cannot touch the caller's tree; leaves are shared (no device copies)
+    variables = jax.tree.map(lambda x: x, variables)
 
     def walk(node, path):
         if not isinstance(node, dict):
@@ -456,9 +468,7 @@ def quantize_weights(net, variables):
         if k is not None and getattr(k, "ndim", 0) == 4 and k.dtype != jnp.int8:
             if path[-2:] == ("HourglassNet_0", "Conv_0"):
                 return  # the full-precision stem
-            s_w = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)), 1e-12) / 127.0
-            node["kernel"] = jnp.clip(jnp.round(k / s_w), -127, 127).astype(jnp.int8)
-            node["kernel_scale"] = s_w
+            node["kernel"], node["kernel_scale"] = _quantize_kernel(jnp.asarray(k))
             return
         for name, child in node.items():
             walk(child, path + (name,))

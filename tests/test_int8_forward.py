@@ -145,3 +145,35 @@ def test_quantize_weights_bit_identical(setup):
         np.asarray(out_q.prob_logits, np.float32),
     )
     np.testing.assert_array_equal(np.asarray(out.uv), np.asarray(out_q.uv))
+
+
+def test_quantize_weights_concat_numpy_tree():
+    """quantize_weights on the torch-converted deployment shape: concat
+    prior mode with plain-NUMPY leaves (what load_torch_checkpoint yields)
+    must still match the on-the-fly path exactly."""
+    net = PkpNet(prior_mode="concat", **TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    prior = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 64, 41)) * 0.5
+    v = jax.jit(net.init)(jax.random.PRNGKey(1), x[:1])
+    v_np = jax.tree.map(np.asarray, v)  # numpy leaves
+    scales = i8.calibrate(net, v_np, [x], [prior])
+    vq = i8.quantize_weights(net, v_np)
+    assert vq["params"]["HourglassNet_0"]["Conv_0"]["kernel"].dtype != jnp.int8
+    ap = i8.make_int8_apply(net)  # eager: jit fast-math can flip codes
+    out = ap(v_np, scales, x, prior)
+    out_q = ap(vq, scales, x, prior)
+    np.testing.assert_array_equal(
+        np.asarray(out.prob_logits, np.float32),
+        np.asarray(out_q.prob_logits, np.float32),
+    )
+
+
+def test_calib_engine_rejects_prequantized_tree():
+    """Feeding a quantize_weights tree to calibrate must raise, not silently
+    use s8 codes as weights."""
+    net = PkpNet(**TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    v = jax.jit(net.init)(jax.random.PRNGKey(1), x)
+    vq = i8.quantize_weights(net, v)
+    with pytest.raises(AssertionError, match="ORIGINAL f32 weights"):
+        i8.calibrate(net, vq, [x])
