@@ -254,8 +254,17 @@ def p3p(y: jax.Array, x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     Ls = jax.vmap(lambda Li: _gauss_newton_refine_L(Li, a12, a13, a23, b12, b13, b23))(Ls)
 
     # absolute orientation: R [d12 d13 d12xd13] = [yd1 yd2 yd1xyd2]
+    # Closed-form adjugate inverse: jnp.linalg.inv on a 3x3 lowers to a
+    # batched LuDecomposition custom call under vmap — ~0.4 ms/frame for
+    # the [O, n_hyp] hypothesis batch on v5e (device trace), vs a handful
+    # of fused elementwise ops here.
     X = jnp.stack([d12, d13, d12xd13], axis=1)
-    Xinv = jnp.linalg.inv(X)
+    c0 = jnp.cross(X[1], X[2])
+    c1 = jnp.cross(X[2], X[0])
+    c2 = jnp.cross(X[0], X[1])
+    detX = jnp.dot(X[0], c0)
+    idet = 1.0 / jnp.where(jnp.abs(detX) < 1e-30, 1e-30, detX)
+    Xinv = jnp.stack([c0, c1, c2], axis=1) * idet
 
     def recover(Li, ok_i):
         ry1 = y1 * Li[0]

@@ -81,6 +81,32 @@ def _reproj_sq_err(T: jax.Array, x: jax.Array, y: jax.Array) -> tuple[jax.Array,
     return jnp.where(z > 0, err, jnp.inf), z
 
 
+def _inv3(M):
+    """Closed-form 3x3 inverse (adjugate over determinant) — avoids the
+    LuDecomposition custom call jnp.linalg lowers to, which dominated the
+    vmapped GN refine's device profile."""
+    c0 = jnp.cross(M[1], M[2])
+    c1 = jnp.cross(M[2], M[0])
+    c2 = jnp.cross(M[0], M[1])
+    det = jnp.dot(M[0], c0)
+    idet = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    return jnp.stack([c0, c1, c2], axis=1) * idet
+
+
+def _solve6_spd(H, g):
+    """Solve the (damped, SPD) 6x6 normal equations by 3x3-blocked Schur
+    elimination with closed-form 3x3 inverses — a handful of fused
+    elementwise/matmul ops instead of a batched LU custom call."""
+    A, B, D = H[:3, :3], H[:3, 3:], H[3:, 3:]
+    Ai = _inv3(A)
+    S = D - B.T @ (Ai @ B)
+    Si = _inv3(S)
+    g1, g2 = g[:3], g[3:]
+    x2 = Si @ (g2 - B.T @ (Ai @ g1))
+    x1 = Ai @ (g1 - B @ x2)
+    return jnp.concatenate([x1, x2])
+
+
 def _gn_refine(
     T0: jax.Array,
     x: jax.Array,
@@ -122,7 +148,7 @@ def _gn_refine(
         H = jnp.einsum("nik,nil->kl", JW, J)
         g = jnp.einsum("nik,ni->k", JW, r)
         H = H + lm_lambda * jnp.eye(6, dtype=dtype) * jnp.maximum(jnp.trace(H) / 6.0, 1e-12)
-        delta = -jnp.linalg.solve(H, g)
+        delta = -_solve6_spd(H, g)
         T_new = lie.se3_exp(delta) @ T
         cost = jnp.sum(wz * jnp.sum(r * r, -1))
         p2 = x @ T_new[:3, :3].T + T_new[:3, 3]
@@ -149,8 +175,17 @@ def _sample_hypothesis_indices(
     n = mask.shape[0]
     gumbel = jax.random.gumbel(key, (n_hyp, n))
     scores = jnp.where(mask[None, :], gumbel, -jnp.inf)
-    _, idx = jax.lax.top_k(scores, 4)
-    return idx
+    # 4 iterated argmaxes instead of lax.top_k: identical selection (and
+    # order) for distinct scores, but avoids the sort custom-call that
+    # dominated the pnp_frame device profile (~0.4 ms/frame on v5e).
+    idxs = []
+    for _ in range(4):
+        i = jnp.argmax(scores, axis=-1)
+        idxs.append(i)
+        scores = jnp.where(
+            jax.nn.one_hot(i, n, dtype=bool), -jnp.inf, scores
+        )
+    return jnp.stack(idxs, axis=-1)
 
 
 @partial(jax.jit, static_argnames=("n_hyp", "refine"))
