@@ -113,6 +113,11 @@ class BopDataset:
             int(np.random.SeedSequence().entropy % (2**31))
             if seed is None else int(seed)
         )
+        if seed is None:
+            # OS-entropy base seed: log it so any run can be reproduced by
+            # passing it back as `seed=` (call sites that need determinism
+            # should pass an explicit seed instead of relying on this)
+            print(f"BopDataset: seed=None -> generated base seed {self._seed}")
         self._tls = threading.local()
         self._thread_counter = itertools.count()
 

@@ -130,11 +130,14 @@ class _CalibEngine:
     def conv_raw(self, a, p, strides=(1, 1), padding="SAME"):
         """conv + bias as virtual f32 (consumed by an add junction)."""
         assert not a.pc, "conv inputs must be per-tensor quantized"
-        assert p["kernel"].dtype != jnp.int8, (
-            "calibration/f32 reference needs the ORIGINAL f32 weights — this "
-            "tree came from quantize_weights (s8 codes would be used as "
-            "weights, silently mis-scaling everything downstream)"
-        )
+        # input-contract check: must survive `python -O` (a stripped assert
+        # would turn this into silent mis-scaling), so raise explicitly
+        if p["kernel"].dtype == jnp.int8:
+            raise ValueError(
+                "calibration/f32 reference needs the ORIGINAL f32 weights — "
+                "this tree came from quantize_weights (s8 codes would be used "
+                "as weights, silently mis-scaling everything downstream)"
+            )
         y = jax.lax.conv_general_dilated(
             a.x.astype(jnp.float32), p["kernel"].astype(jnp.float32),
             strides, padding,
@@ -178,6 +181,12 @@ class _Int8Engine:
         self.i = 0
 
     def _next_scale(self):
+        if self.i >= len(self.scales):
+            raise ValueError(
+                f"int8 scale-sequence drift: traversal needs more than the "
+                f"{len(self.scales)} calibration points in `scales` — the "
+                "scales tuple does not match this network architecture"
+            )
         s = jnp.maximum(self.scales[self.i], 1e-6) / 127.0
         self.i += 1
         return s
@@ -494,8 +503,14 @@ def make_int8_apply(net):
         outs = _traverse(eng, variables, images_roi, prior_kp, net)
         # every calibration point must be consumed exactly once and in
         # order — catches any scale-sequence drift at trace time rather
-        # than as silent mis-scaling
-        assert eng.i == len(scales), (eng.i, len(scales))
+        # than as silent mis-scaling (ValueError so `python -O` can't
+        # strip the input-contract check)
+        if eng.i != len(scales):
+            raise ValueError(
+                f"int8 scale-sequence drift: traversal consumed {eng.i} "
+                f"calibration points but `scales` has {len(scales)} — the "
+                "scales tuple does not match this network architecture"
+            )
         return _readout(variables, outs, net)
 
     return apply

@@ -171,7 +171,15 @@ def _gn_refine(
 def _sample_hypothesis_indices(
     key: jax.Array, mask: jax.Array, n_hyp: int
 ) -> jax.Array:
-    """[n_hyp, 4] distinct indices of valid points (Gumbel top-k trick)."""
+    """[n_hyp, 4] distinct indices of valid points (Gumbel top-k trick).
+
+    Contract note: when FEWER than 4 points are valid, the exhausted rows
+    all return index 0 (every score is -inf, argmax ties to 0) — i.e. the
+    indices are NOT distinct in that case, unlike the earlier lax.top_k
+    variant. `pnp_ransac` is safe because it gates on `feasible = n_valid
+    >= 4` before trusting any hypothesis; any new caller must keep an
+    equivalent guard.
+    """
     n = mask.shape[0]
     gumbel = jax.random.gumbel(key, (n_hyp, n))
     scores = jnp.where(mask[None, :], gumbel, -jnp.inf)

@@ -26,7 +26,19 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/suo_slam_tpu_jit_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-# Tests are compile-bound (single CPU): skip most XLA optimization passes.
-# Semantics are unchanged (numerical assertions all use tolerances); runtime
-# is slightly slower but compile time dominates by an order of magnitude.
-jax.config.update("jax_disable_most_optimizations", True)
+# Fast tier is compile-bound (single CPU): skip most XLA optimization passes
+# there. The SLOW tier (and `-m ""` full runs) keeps DEFAULT optimizations so
+# fusion/fast-math-sensitive behaviors (optimization_barrier placement, int8
+# round ties, readout numerics) are exercised under the production compiler
+# mode at least once per CI cycle. Override either way with SUO_FULL_OPT=0/1.
+
+
+def pytest_configure(config):
+    env = os.environ.get("SUO_FULL_OPT")
+    if env is not None:
+        full_opt = env == "1"
+    else:
+        # default fast tier runs with `-m "not slow"` (pytest.ini addopts);
+        # anything that includes slow tests gets the production compiler
+        full_opt = config.getoption("-m") != "not slow"
+    jax.config.update("jax_disable_most_optimizations", not full_opt)

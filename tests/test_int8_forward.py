@@ -175,5 +175,5 @@ def test_calib_engine_rejects_prequantized_tree():
     x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
     v = jax.jit(net.init)(jax.random.PRNGKey(1), x)
     vq = i8.quantize_weights(net, v)
-    with pytest.raises(AssertionError, match="ORIGINAL f32 weights"):
+    with pytest.raises(ValueError, match="ORIGINAL f32 weights"):
         i8.calibrate(net, vq, [x])

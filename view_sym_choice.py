@@ -38,7 +38,7 @@ def main():
     from suo_slam_tpu.eval.render import render_shaded
 
     ds = BopDataset(data_root, args.split, bop_dset=args.dataset,
-                    kp_config_root=args.kp_config_root)
+                    kp_config_root=args.kp_config_root, seed=0)
     db = load_mesh_db(ds.models_dir)
     K = ds.data[args.scene_id][args.view_id].K
     T_gt = ds.get_obj_pose(args.scene_id, args.view_id, args.obj_id)
