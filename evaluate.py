@@ -32,7 +32,7 @@ class Evaluator:
                  no_network_cov=False, detection_type="saved", debug_gt_kp=False,
                  gt_cam_pose=False, no_prior_det=False, no_viz=True,
                  debug_saved_only=False, give_all_prior=False,
-                 kp_config_root=None, bf16=True, norm="group", int8=False):
+                 kp_config_root=None, bf16=True, norm="batch", int8=False):
         from suo_slam_tpu.data.bop import BopDataset
         from suo_slam_tpu.data.mesh import load_mesh_db
         from suo_slam_tpu.slam import ObjectSlam, SlamConfig
@@ -84,11 +84,25 @@ class Evaluator:
                     )
                     params, self.model_epoch, _ = load_torch_checkpoint(chkpt_path)
                 else:
-                    from suo_slam_tpu.train.checkpoint import load_model_only
+                    from suo_slam_tpu.train.checkpoint import (
+                        load_model_only,
+                        peek_checkpoint_args,
+                    )
 
+                    # trust the architecture recorded at train time over the
+                    # CLI flag: a norm mismatch would otherwise load the
+                    # checkpoint into the wrong net (or crash on batch_stats)
+                    ck_norm = peek_checkpoint_args(chkpt_path).get("norm")
+                    if ck_norm in ("batch", "group") and ck_norm != norm:
+                        print(f"[evaluate] checkpoint was trained with "
+                              f"norm={ck_norm!r}; overriding norm={norm!r}")
+                        norm = ck_norm
+                    tiny = bool(int(os.environ.get("SUO_TINY_NET", "0")))
                     net = PkpNet(
                         calc_cov=not no_network_cov, norm=norm,
                         dtype=jnp.bfloat16 if bf16 else jnp.float32,
+                        **(dict(n_stack=1, n_modules=1, features=16)
+                           if tiny else {}),
                     )
                     dummy = jnp.zeros((1, 256, 256, 3))
                     template = net.init(jax.random.PRNGKey(0), dummy)

@@ -39,8 +39,11 @@ def get_args(mode="train", argv_override=None):
     parser.add_argument("--bf16", action="store_true", default=True,
                         help="bfloat16 compute in the backbone (TPU default).")
     parser.add_argument("--no_bf16", dest="bf16", action="store_false")
-    parser.add_argument("--norm", default="group", choices=["group", "batch"],
-                        help="Backbone normalization (GroupNorm is the TPU default).")
+    parser.add_argument("--norm", default="batch", choices=["group", "batch"],
+                        help="Backbone normalization. Default 'batch' matches the "
+                             "reference's BatchNorm and is required by the int8 "
+                             "inference path (--int8 folds BN into conv epilogues); "
+                             "'group' is a sync-free batch-independent alternative.")
 
     default_split = "primesense" if is_tless else "real+synt"
     if mode == "train":
@@ -60,6 +63,15 @@ def get_args(mode="train", argv_override=None):
         parser.add_argument("--no_augmentations", action="store_true")
         parser.add_argument("--steps_per_epoch", type=int, default=0,
                             help="Cap steps per epoch (0 = full dataset); for smoke runs.")
+        parser.add_argument("--val_steps", type=int, default=0,
+                            help="Cap validation batches per epoch (0 = full "
+                                 "val split); for smoke runs.")
+        parser.add_argument("--val_start_epoch", type=int, default=5,
+                            help="First epoch eligible for val-driven "
+                                 "model_best (reference: 5).")
+        parser.add_argument("--no_val", action="store_true",
+                            help="Skip the held-out validation epoch; "
+                                 "model_best falls back to training loss.")
         parser.add_argument("--use_cache", action="store_true",
                             help="Use the native mmap frame cache + threaded "
                                  "gatherer (packs on first run).")

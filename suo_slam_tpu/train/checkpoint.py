@@ -101,6 +101,19 @@ def load_checkpoint(path: str, state_template):
     return state, int(payload["epoch"]), args, float(payload["best_val"])
 
 
+def peek_checkpoint_args(path: str) -> dict:
+    """Training-args provenance dict stored in a checkpoint ({} if absent).
+
+    Lets eval auto-detect architecture choices (e.g. `norm`) recorded at
+    train time before constructing the net, so a flag mismatch cannot load
+    a checkpoint into the wrong architecture.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    payload = serialization.msgpack_restore(data)
+    return json.loads(payload.get("args_json", "") or "{}")
+
+
 def load_model_only(path: str, variables_template):
     """For eval / --pretrain: the model variables (params [+ batch_stats]).
 

@@ -82,7 +82,8 @@ def model_variables(params, batch_stats=None) -> dict:
 
 
 def _forward_loss(net, params, batch_stats, batch: Batch, epoch, dropout_rng,
-                  train: bool, input_hw: tuple[int, int]):
+                  train: bool, input_hw: tuple[int, int],
+                  do_anneal: bool = True):
     from ..ops import heatmap as hm
 
     b, o = batch.boxes.shape[:2]
@@ -109,21 +110,27 @@ def _forward_loss(net, params, batch_stats, batch: Batch, epoch, dropout_rng,
     # labeled channels of real (non-padded) object slots only
     kp_mask = (batch.kp_mask & batch.obj_mask[..., None]).reshape(b * o, -1)
     loss, aux = losses.total_loss(
-        out.uv, out.cov, out.prob, out.kp_mask_logits, uv_gt, kp_mask, epoch
+        out.uv, out.cov, out.prob, out.kp_mask_logits, uv_gt, kp_mask, epoch,
+        do_anneal=do_anneal,
     )
     return loss, (aux, updated.get("batch_stats", batch_stats))
 
 
 def make_train_step(net: PkpNet, optimizer: optax.GradientTransformation,
-                    input_hw: tuple[int, int] = (256, 256)):
-    """Returns a jittable (state, batch, epoch) -> (state, metrics) step."""
+                    input_hw: tuple[int, int] = (256, 256),
+                    do_anneal: bool = True):
+    """Returns a jittable (state, batch, epoch) -> (state, metrics) step.
+
+    `do_anneal=False` pins var/mask loss weights to 1 (the reference does
+    this when starting from `--pretrain`, `train.py:333-334,70-84`).
+    """
 
     def step(state: TrainState, batch: Batch, epoch: jax.Array):
         rng, dropout_rng = jax.random.split(state.rng)
 
         def loss_fn(p):
             return _forward_loss(net, p, state.batch_stats, batch, epoch,
-                                 dropout_rng, True, input_hw)
+                                 dropout_rng, True, input_hw, do_anneal)
 
         (loss, (aux, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -136,11 +143,12 @@ def make_train_step(net: PkpNet, optimizer: optax.GradientTransformation,
     return step
 
 
-def make_eval_step(net: PkpNet, input_hw: tuple[int, int] = (256, 256)):
+def make_eval_step(net: PkpNet, input_hw: tuple[int, int] = (256, 256),
+                   do_anneal: bool = True):
     def step(params, batch_stats, batch: Batch, epoch: jax.Array):
         loss, (aux, _) = _forward_loss(
             net, params, batch_stats, batch, epoch, jax.random.PRNGKey(0),
-            False, input_hw
+            False, input_hw, do_anneal
         )
         return dict(aux, loss=loss)
 
@@ -168,13 +176,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def make_sharded_train_step(net, optimizer, mesh: Mesh,
-                            input_hw: tuple[int, int] = (256, 256)):
+                            input_hw: tuple[int, int] = (256, 256),
+                            do_anneal: bool = True):
     """jit the train step with params replicated and batch sharded on `data`.
 
     XLA turns the grad reduction into a psum over ICI (the TPU-native
     equivalent of DataParallel's gather, `training_utils.py:36-40`).
     """
-    step = make_train_step(net, optimizer, input_hw)
+    step = make_train_step(net, optimizer, input_hw, do_anneal)
     rep = replicated(mesh)
     state_shard = TrainState(params=rep, batch_stats=rep, opt_state=rep,
                              step=rep, rng=rep)

@@ -100,6 +100,38 @@ def test_evaluate_slam_mode_gt_kp(bop_layout, tmp_path):
     assert m and float(m.group(1)) == 100.0, out
 
 
+def test_train_val_best_then_int8_eval(bop_layout, tmp_path):
+    """Default-flags story: train (norm=batch default) with the held-out
+    validation epoch driving model_best/best.txt/viz_best, then run
+    `evaluate.py --int8` straight from the produced checkpoint."""
+    kp_root = os.path.join(bop_layout, "kp_configs")
+    cmd = [
+        sys.executable, os.path.join(REPO, "train.py"),
+        "--dataset", "ycbv", "--data_root", bop_layout,
+        "--kp_config_root", kp_root,
+        "--data_split", "synt", "--batch_size", "2", "--truncate_obj", "3",
+        "--epochs", "2", "--steps_per_epoch", "2", "--no_bf16",
+        "--val_steps", "2", "--val_start_epoch", "0", "--no_resume",
+    ]
+    env = {"SUO_TINY_NET": "1"}
+    res = _run(cmd, cwd=str(tmp_path), extra_env=env)
+    assert "val uv_loss" in res.stdout
+    best = list(tmp_path.rglob("model_best"))
+    assert best, res.stdout[-2000:]
+    best_txt = list(tmp_path.rglob("best.txt"))
+    assert best_txt and "val_err=" in best_txt[0].read_text()
+    assert list(tmp_path.rglob("viz_best/*.png")), res.stdout[-2000:]
+
+    cmd2 = [
+        sys.executable, os.path.join(REPO, "evaluate.py"),
+        "--nviews", "1", "--dataset", "ycbv", "--data_root", bop_layout,
+        "--kp_config_root", kp_root, "--checkpoint_path", str(best[0]),
+        "--int8", "--no_viz", "--detection_type", "gt", "--no_bf16",
+    ]
+    res2 = _run(cmd2, cwd=str(tmp_path), extra_env=env)
+    assert "AUC of ADD(-S)" in res2.stdout, res2.stdout[-2000:]
+
+
 def test_train_smoke_and_resume(bop_layout, tmp_path):
     """2-epoch tiny training run, then auto-resume for 1 more epoch."""
     cmd = [

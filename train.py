@@ -138,6 +138,24 @@ class ConcatLoader:
             stop.set()
 
 
+def build_val_datasets(args):
+    """Held-out validation data: the test-split keyframes, like the
+    reference (`train.py:309-325`: `test_primesense` for T-LESS, `test`
+    keyframes for YCBV; no augmentation on test splits by construction).
+    Returns [] if the split is absent on disk (e.g. train-only fixtures)."""
+    from suo_slam_tpu.data.bop import BopDataset
+
+    split = "test_primesense" if args.dataset == "tless" else "test"
+    if not os.path.isdir(os.path.join(args.data_root, split)):
+        return []
+    return [
+        BopDataset(
+            args.data_root, split, bop_dset=args.dataset, map_by="view",
+            det_type="gt", kp_config_root=args.kp_config_root, seed=666,
+        )
+    ]
+
+
 def to_device_batch(np_batch, o_pad=None):
     import jax.numpy as jnp
 
@@ -161,9 +179,11 @@ def to_device_batch(np_batch, o_pad=None):
     )
 
 
-def _dump_epoch_viz(outdir, epoch, net, state, np_batch, max_objs=4):
-    """Per-epoch prediction viz PNG (the reference dumps viz every epoch,
-    `train.py:119-156`). Best-effort: failures never kill training."""
+def _dump_epoch_viz(outdir, epoch, net, state, np_batch, max_objs=4,
+                    split="train"):
+    """Per-epoch prediction viz PNG (the reference dumps viz every epoch
+    into `viz_<split>_epoch_<N>`, `train.py:33-38,119-156`). Best-effort:
+    failures never kill training. Returns the viz dir (or None)."""
     try:
         import cv2
         import jax
@@ -191,12 +211,14 @@ def _dump_epoch_viz(outdir, epoch, net, state, np_batch, max_objs=4):
                 "kp_mask": np.asarray(out.kp_mask[i] > 0.3)
                 & np_batch["kp_model_masks"][0][i],
             }
-        viz_dir = os.path.join(outdir, f"viz_train_epoch_{epoch}")
+        viz_dir = os.path.join(outdir, f"viz_{split}_epoch_{epoch}")
         os.makedirs(viz_dir, exist_ok=True)
         viz = make_frame_viz(img, dets, {}, np_batch["K"][0])
         cv2.imwrite(os.path.join(viz_dir, "sample.png"), viz[..., ::-1])
+        return viz_dir
     except Exception as e:  # pragma: no cover
         print(f"viz dump failed: {e}")
+        return None
 
 
 def main():
@@ -282,22 +304,48 @@ def main():
 
     mesh = harness.data_parallel_mesh()
     n_dev = len(mesh.devices.reshape(-1))
+    do_anneal = args.pretrain is None  # reference `train.py:333-334`
     step_fn = (
-        harness.make_sharded_train_step(net, optimizer, mesh)
+        harness.make_sharded_train_step(net, optimizer, mesh, do_anneal=do_anneal)
         if n_dev > 1 and args.batch_size % n_dev == 0
-        else jax.jit(harness.make_train_step(net, optimizer), donate_argnums=(0,))
+        else jax.jit(harness.make_train_step(net, optimizer, do_anneal=do_anneal),
+                     donate_argnums=(0,))
     )
+
+    # held-out validation over test-split keyframes (reference
+    # `train.py:309-347`): per-epoch avg uv_loss drives model_best /
+    # best.txt / viz_best after `val_start_epoch`
+    val_loader = None
+    if not args.no_val:
+        val_datasets = build_val_datasets(args)
+        if val_datasets:
+            val_loader = ConcatLoader(val_datasets, args.batch_size,
+                                      args.truncate_obj, seed=666,
+                                      workers=args.workers)
+            print(f"Validating on {val_loader.total} held-out frames, "
+                  f"{len(val_loader)} batches/epoch")
+        else:
+            print("WARNING: no test split on disk — model_best falls back "
+                  "to training loss")
+    eval_step = jax.jit(harness.make_eval_step(net, do_anneal=do_anneal))
 
     args_dict = vars(args).copy()
     for epoch in range(start_epoch, args.epochs):
         t_epoch = time.time()
         t0 = time.time()
-        avg_loss, n_steps = 0.0, 0
+        # device-side loss accumulator: every step contributes to the epoch
+        # average without a per-step host sync (float() only on print steps
+        # and at epoch end)
+        sum_loss, n_steps = jnp.zeros(()), 0
+        train_np_batch = None
         for i, np_batch in enumerate(loader.epoch()):
             if args.steps_per_epoch and i >= args.steps_per_epoch:
                 break
+            train_np_batch = np_batch
             batch = to_device_batch(np_batch, o_pad=args.truncate_obj)
             state, metrics = step_fn(state, batch, jnp.asarray(float(epoch)))
+            sum_loss = sum_loss + metrics["loss"]
+            n_steps += 1
             from suo_slam_tpu.utils import ram_guard
 
             if not ram_guard(99.0):  # host-OOM watchdog (`train.py:105-109`)
@@ -305,8 +353,6 @@ def main():
                 sys.exit(1)
             if (i + 1) % 10 == 0 or i == 0:
                 loss = float(metrics["loss"])
-                avg_loss += loss
-                n_steps += 1
                 print(
                     f"Epoch: {epoch} [{i + 1}/{len(loader)}] "
                     f"loss_tot={loss:.3f} uv_loss={float(metrics['uv_loss']):.3f} "
@@ -317,14 +363,62 @@ def main():
                     f"sec/it={(time.time() - t0) / (i + 1):.2f}",
                     flush=True,
                 )
-        val = avg_loss / max(1, n_steps)
-        is_best = val < best_val
-        best_val = min(best_val, val)
-        ckpt.save_checkpoint(outdir, state, epoch, args_dict, best_val, is_best=is_best)
-        _dump_epoch_viz(outdir, epoch, net, state, np_batch)
+        train_loss = float(sum_loss) / max(1, n_steps)
+
+        # ---- validation epoch (no grad, running BN stats) ----
+        val_err = None
+        val_np_batch = None
+        if val_loader is not None:
+            v_sum, v_n = 0.0, 0
+            for j, np_batch in enumerate(val_loader.epoch(shuffle=False)):
+                if args.val_steps and j >= args.val_steps:
+                    break
+                if val_np_batch is None:
+                    val_np_batch = np_batch
+                batch = to_device_batch(np_batch, o_pad=args.truncate_obj)
+                m = eval_step(state.params, state.batch_stats, batch,
+                              jnp.asarray(float(epoch)))
+                v_sum += float(m["uv_loss"])
+                v_n += 1
+                print(f"Test: [{j + 1}/{len(val_loader)}] "
+                      f"uv_loss={v_sum / v_n:.3f} avg", end="\r", flush=True)
+            if v_n:
+                val_err = v_sum / v_n
+                print(f"\nEpoch {epoch} val uv_loss: {val_err:.4f}")
+
+        # model_best: val-driven after val_start_epoch (reference
+        # `train.py:327-342`); training loss only as a no-val fallback
+        is_best = False
+        if val_err is not None:
+            if epoch >= args.val_start_epoch and val_err < best_val:
+                with open(os.path.join(outdir, "best.txt"), "w") as f:
+                    f.write(f"epoch={epoch}\nval_err={val_err}\n"
+                            f"prev_best={best_val}")
+                best_val = val_err
+                is_best = True
+        elif train_loss < best_val:
+            best_val = train_loss
+            is_best = True
+        ckpt.save_checkpoint(outdir, state, epoch, args_dict, best_val,
+                             is_best=is_best)
+        if train_np_batch is not None:
+            _dump_epoch_viz(outdir, epoch, net, state, train_np_batch,
+                            split="train")
+        if val_np_batch is not None:
+            viz_dir = _dump_epoch_viz(outdir, epoch, net, state, val_np_batch,
+                                      split="test")
+            if is_best and viz_dir is not None:
+                import shutil
+
+                viz_best = os.path.join(outdir, "viz_best")
+                if os.path.exists(viz_best):
+                    shutil.rmtree(viz_best)
+                shutil.copytree(viz_dir, viz_best)
         print(
             f"Epoch {epoch} done in {time.time() - t_epoch:.1f}s, "
-            f"avg loss {val:.4f}{' (best)' if is_best else ''}"
+            f"train loss {train_loss:.4f}"
+            + (f", val uv_loss {val_err:.4f}" if val_err is not None else "")
+            + (" (best)" if is_best else "")
         )
 
 
