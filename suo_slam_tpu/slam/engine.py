@@ -718,11 +718,16 @@ class ObjectSlam:
             # masked writeback -> refresh the full inlier mirror (global BA
             # runs every global_opt_every frames; 1 bool buffer upload)
             self._dev["inliers"] = jnp.asarray(self.inliers)
-            self._post_global_cleanup()
+            self._remove_behind_camera()
+        # min-inlier removal runs after EVERY optimize, tracking included —
+        # the reference's block at `lib/object_slam.py:917-930` sits outside
+        # the `if not curr_only:` (pinned by
+        # test_reference_engine_parity.py::test_low_inlier_removal_timing_parity)
+        self._remove_low_inlier_objects()
 
-    def _post_global_cleanup(self):
-        """Behind-camera and min-inlier object removal
-        (`lib/object_slam.py:904-930`)."""
+    def _remove_behind_camera(self):
+        """Behind-camera object removal, global BA only
+        (`lib/object_slam.py:904-916`)."""
         if not self.view_ids:
             return
         v = self.view_slot[self.view_ids[-1]]
@@ -733,6 +738,9 @@ class ObjectSlam:
             p = T_GtoC[:3, :3] @ self.obj_T[s][:3, 3] + T_GtoC[:3, 3]
             if p[2] < 0.5 * self._diam(obj_id):
                 self._remove_obj(obj_id)
+
+    def _remove_low_inlier_objects(self):
+        """Min-inlier object removal (`lib/object_slam.py:917-930`)."""
         for obj_id, s in list(self.obj_slot.items()):
             if not self.obj_active[s]:
                 continue

@@ -365,44 +365,18 @@ def _solve_normal_eq_schur(Hcc, Hoo, Hco, gc, go, cam_free, obj_free, lam):
     )
 
 
-@partial(jax.jit, static_argnames=("iters_per_round", "tracking_only", "fix_first_cam", "huber_delta", "chi2_thresh"))
-def optimize(
-    problem: BAProblem,
-    iters_per_round: tuple[int, ...] = DEFAULT_GLOBAL_ROUNDS,
-    tracking_only: bool = False,
-    fix_first_cam: bool = True,
-    init_with_outliers: bool = False,
-    huber_delta: float = HUBER_DELTA,
-    chi2_thresh: float = CHI2_THRESH_2DOF,
-) -> BAResult:
-    """Run the robust LM schedule with chi2 reclassification between rounds.
+def _make_lm_iteration(problem: BAProblem, tracking_only: bool,
+                       fix_first_cam: bool, huber_d):
+    """The shared LM step: one damped Schur solve + accept/reject.
 
-    tracking_only: objects frozen (unary edges) and no camera gauge fixing —
-      the reference's `optimize(curr_only=True)` with the current view as the
-      only free vertex. Callers pass a problem whose cam slots contain just
-      the current view (V may still be >1 with cam_active masking).
-    """
-    dtype = problem.cam_T.dtype
-    V, O, K = problem.valid.shape
-    act_vo = problem.cam_active[:, None] & problem.obj_active[None, :]
-    valid = problem.valid & act_vo[..., None]
+    Used by both `optimize` (the engine's round schedule) and `lm_run` (the
+    g2o-compatible single-run entry) so the two paths can never drift."""
+    V = problem.valid.shape[0]
     cam_frozen = (
         problem.cam_frozen
         if problem.cam_frozen is not None
         else jnp.zeros((V,), bool)
     )
-
-    # ---- initial classification (reference `object_slam.py:849-866`) ----
-    # init_with_outliers is TRACED (not a static jit arg): the per-dataset
-    # configs differ only in this flag, and keeping it in the graph avoids a
-    # second full compile of the LM program (one extra edge-chi2 pass costs
-    # nothing next to the solve).
-    _, chi2_0 = _edge_chi2(
-        problem.cam_T, problem.obj_T, problem.uv, problem.info, problem.model_kp, problem.cam_k
-    )
-    inliers0 = valid & ((chi2_0 <= chi2_thresh) | jnp.asarray(init_with_outliers))
-
-    huber_d = jnp.asarray(huber_delta, dtype)
 
     def vertex_masks(inl):
         """Active vertices given the current inlier classification."""
@@ -468,6 +442,100 @@ def optimize(
         )
         return (cam_T, obj_T, inl, lam), rel_gain
 
+    return lm_iteration
+
+
+def _lm_while(lm_iteration, cam_T, obj_T, inl, lam, n_iters, use_huber):
+    """Up to n_iters LM iterations with convergence early exit — g2o's
+    optimize(n) likewise terminates on chi2 stagnation."""
+
+    def cond(carry):
+        state, it, done = carry
+        return (~done) & (it < n_iters)
+
+    def body(carry):
+        state, it, done = carry
+        state, rel_gain = lm_iteration(state, use_huber)
+        lam_now = state[3]
+        done = ((rel_gain < CONVERGENCE_RTOL) & jnp.isfinite(rel_gain)) | (
+            lam_now >= 1e6
+        )
+        return state, it + 1, done
+
+    state = (cam_T, obj_T, inl, lam)
+    state, _, _ = jax.lax.while_loop(
+        cond, body, (state, jnp.asarray(0), jnp.asarray(False))
+    )
+    return state[0], state[1], state[3]
+
+
+@partial(jax.jit, static_argnames=("tracking_only", "fix_first_cam"))
+def lm_run(
+    problem: BAProblem,
+    n_iters,  # traced: g2o callers vary it (10 vs 40) within one schedule
+    use_huber,
+    lam0=1e-5,
+    tracking_only: bool = False,
+    fix_first_cam: bool = False,
+):
+    """g2o `SparseOptimizer.optimize(n)` equivalent: one LM run over the
+    problem's CURRENT inlier classification — no chi2 reclassification, no
+    Huber round schedule (the caller owns both, exactly like the reference's
+    Python loop around g2o, `lib/object_slam.py:866-896`).
+
+    Used by `suo_slam_tpu.compat.g2o` to run the ACTUAL reference engine on
+    this solver. Per-camera gauge/fixing comes from `problem.cam_frozen`
+    (g2o `set_fixed`); `tracking_only` freezes every object (unary edges).
+    Returns (cam_T, obj_T, lam)."""
+    dtype = problem.cam_T.dtype
+    act_vo = problem.cam_active[:, None] & problem.obj_active[None, :]
+    inl = problem.inliers & problem.valid & act_vo[..., None]
+    lm_iteration = _make_lm_iteration(
+        problem, tracking_only, fix_first_cam,
+        jnp.asarray(HUBER_DELTA, dtype),
+    )
+    cam_T, obj_T, lam = _lm_while(
+        lm_iteration, problem.cam_T, problem.obj_T, inl,
+        jnp.asarray(lam0, dtype), n_iters, use_huber,
+    )
+    return _reorthonormalize(cam_T), _reorthonormalize(obj_T), lam
+
+
+@partial(jax.jit, static_argnames=("iters_per_round", "tracking_only", "fix_first_cam", "huber_delta", "chi2_thresh"))
+def optimize(
+    problem: BAProblem,
+    iters_per_round: tuple[int, ...] = DEFAULT_GLOBAL_ROUNDS,
+    tracking_only: bool = False,
+    fix_first_cam: bool = True,
+    init_with_outliers: bool = False,
+    huber_delta: float = HUBER_DELTA,
+    chi2_thresh: float = CHI2_THRESH_2DOF,
+) -> BAResult:
+    """Run the robust LM schedule with chi2 reclassification between rounds.
+
+    tracking_only: objects frozen (unary edges) and no camera gauge fixing —
+      the reference's `optimize(curr_only=True)` with the current view as the
+      only free vertex. Callers pass a problem whose cam slots contain just
+      the current view (V may still be >1 with cam_active masking).
+    """
+    dtype = problem.cam_T.dtype
+    V, O, K = problem.valid.shape
+    act_vo = problem.cam_active[:, None] & problem.obj_active[None, :]
+    valid = problem.valid & act_vo[..., None]
+
+    # ---- initial classification (reference `object_slam.py:849-866`) ----
+    # init_with_outliers is TRACED (not a static jit arg): the per-dataset
+    # configs differ only in this flag, and keeping it in the graph avoids a
+    # second full compile of the LM program (one extra edge-chi2 pass costs
+    # nothing next to the solve).
+    _, chi2_0 = _edge_chi2(
+        problem.cam_T, problem.obj_T, problem.uv, problem.info, problem.model_kp, problem.cam_k
+    )
+    inliers0 = valid & ((chi2_0 <= chi2_thresh) | jnp.asarray(init_with_outliers))
+
+    huber_d = jnp.asarray(huber_delta, dtype)
+    lm_iteration = _make_lm_iteration(problem, tracking_only, fix_first_cam, huber_d)
+
     def reclassify(cam_T, obj_T, _valid=valid):
         _, chi2 = _edge_chi2(
             cam_T, obj_T, problem.uv, problem.info, problem.model_kp, problem.cam_k
@@ -496,24 +564,10 @@ def optimize(
             # Up to iters_per_round[rnd] LM iterations with convergence early
             # exit — g2o's optimize(n) likewise terminates on chi2
             # stagnation, the reference's [10,10,40,40] are maxima.
-            def cond(carry):
-                state, it, done = carry
-                return (~done) & (it < iters_per_round[rnd])
-
-            def body(carry):
-                state, it, done = carry
-                state, rel_gain = lm_iteration(state, use_huber)
-                lam_now = state[3]
-                done = ((rel_gain < CONVERGENCE_RTOL) & jnp.isfinite(rel_gain)) | (
-                    lam_now >= 1e6
-                )
-                return state, it + 1, done
-
-            state = (cam_T, obj_T, inl, lam)
-            state, _, _ = jax.lax.while_loop(
-                cond, body, (state, jnp.asarray(0), jnp.asarray(False))
+            cam_T, obj_T, lam = _lm_while(
+                lm_iteration, cam_T, obj_T, inl, lam, iters_per_round[rnd],
+                use_huber,
             )
-            cam_T, obj_T, inl, lam = state
             # project rotations back onto SO(3) once per round
             cam_T = _reorthonormalize(cam_T)
             obj_T = _reorthonormalize(obj_T)

@@ -112,3 +112,42 @@ def load(module_name: str):
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", SyntaxWarning)
         return importlib.import_module(module_name)
+
+
+def load_object_slam():
+    """Import the ACTUAL reference engine (`lib.object_slam`) end-to-end.
+
+    The engine's native dependencies are satisfied by this repo's drop-in
+    shims (`suo_slam_tpu.compat.g2o` / `.lambdatwist`, backed by the JAX
+    solvers) — that is the point: the reference's control flow runs
+    unmodified as a closed-loop behavioral oracle against `slam/engine.py`.
+    The unused GL renderer import (`lib/object_slam.py:18`; the engine sets
+    `self.renderer = None` at `:123`) is stubbed since glumpy is absent.
+    """
+    _install_shims()
+
+    from suo_slam_tpu.compat import g2o as g2o_shim
+    from suo_slam_tpu.compat import lambdatwist as lt_shim
+
+    sys.modules.setdefault("g2o", g2o_shim)
+    sys.modules.setdefault("lambdatwist", lt_shim)
+
+    rp_name = "thirdparty.bop_toolkit.bop_toolkit_lib.renderer_py"
+    if rp_name not in sys.modules:
+        rp = types.ModuleType(rp_name)
+
+        class RendererPython:  # never instantiated by the engine under test
+            def __init__(self, *a, **k):
+                raise NotImplementedError("renderer_py stub (no glumpy)")
+
+        rp.RendererPython = RendererPython
+        # materialize the namespace-package parents so the leaf binds
+        for parent in ("thirdparty", "thirdparty.bop_toolkit",
+                       "thirdparty.bop_toolkit.bop_toolkit_lib"):
+            if parent not in sys.modules:
+                importlib.import_module(parent)
+        sys.modules[rp_name] = rp
+        setattr(sys.modules["thirdparty.bop_toolkit.bop_toolkit_lib"],
+                "renderer_py", rp)
+
+    return load("lib.object_slam")
