@@ -32,7 +32,8 @@ class Evaluator:
                  no_network_cov=False, detection_type="saved", debug_gt_kp=False,
                  gt_cam_pose=False, no_prior_det=False, no_viz=True,
                  debug_saved_only=False, give_all_prior=False,
-                 kp_config_root=None, bf16=True, norm="batch", int8=False):
+                 kp_config_root=None, bf16=True, norm="batch", int8=False,
+                 int8_scales=None):
         from suo_slam_tpu.data.bop import BopDataset
         from suo_slam_tpu.data.mesh import load_mesh_db
         from suo_slam_tpu.slam import ObjectSlam, SlamConfig
@@ -65,56 +66,32 @@ class Evaluator:
         if not debug_saved_only:
             net = params = None
             if not debug_gt_kp:
-                import jax
-                import jax.numpy as jnp
+                from suo_slam_tpu.eval.loading import load_eval_network
 
-                from suo_slam_tpu.models import PkpNet
-
-                if chkpt_path.endswith((".pth.tar", ".pth")):
-                    # reference torch checkpoint: layer-for-layer conversion
-                    # (see suo_slam_tpu/train/torch_convert.py)
-                    from suo_slam_tpu.train.torch_convert import (
-                        load_torch_checkpoint,
-                    )
-
-                    net = PkpNet(
-                        calc_cov=not no_network_cov, norm="batch",
-                        prior_mode="concat", transpose_heatmaps=True,
-                        dtype=jnp.bfloat16 if bf16 else jnp.float32,
-                    )
-                    params, self.model_epoch, _ = load_torch_checkpoint(chkpt_path)
-                else:
-                    from suo_slam_tpu.train.checkpoint import (
-                        load_model_only,
-                        peek_checkpoint_args,
-                    )
-
-                    # trust the architecture recorded at train time over the
-                    # CLI flag: a norm mismatch would otherwise load the
-                    # checkpoint into the wrong net (or crash on batch_stats)
-                    ck_norm = peek_checkpoint_args(chkpt_path).get("norm")
-                    if ck_norm in ("batch", "group") and ck_norm != norm:
-                        print(f"[evaluate] checkpoint was trained with "
-                              f"norm={ck_norm!r}; overriding norm={norm!r}")
-                        norm = ck_norm
-                    tiny = bool(int(os.environ.get("SUO_TINY_NET", "0")))
-                    net = PkpNet(
-                        calc_cov=not no_network_cov, norm=norm,
-                        dtype=jnp.bfloat16 if bf16 else jnp.float32,
-                        **(dict(n_stack=1, n_modules=1, features=16)
-                           if tiny else {}),
-                    )
-                    dummy = jnp.zeros((1, 256, 256, 3))
-                    template = net.init(jax.random.PRNGKey(0), dummy)
-                    params, self.model_epoch, _ = load_model_only(
-                        chkpt_path, template
-                    )
+                net, params, self.model_epoch = load_eval_network(
+                    chkpt_path, bf16=bf16, norm=norm,
+                    no_network_cov=no_network_cov,
+                )
             if int8 and (net is None or net.norm != "batch"):
                 raise SystemExit(
                     "--int8 requires a norm='batch' checkpoint (the int8 "
                     "executor folds BatchNorm into conv epilogues); got "
                     f"norm={getattr(net, 'norm', None)!r}"
                 )
+            scales_path = None
+            if int8:
+                from suo_slam_tpu.eval.loading import default_scales_path
+
+                cand = int8_scales or default_scales_path(chkpt_path)
+                if os.path.isfile(cand):
+                    scales_path = cand
+                    print(f"[evaluate] int8 scales sidecar: {cand}")
+                elif int8_scales:
+                    raise SystemExit(f"--int8_scales not found: {int8_scales}")
+                else:
+                    print("[evaluate] no int8 scales sidecar (run "
+                          "calibrate_int8.py to persist one) — falling back "
+                          "to online first-frames calibration")
             cfg = SlamConfig(
                 sfm_mode=nviews > 1,
                 single_view_mode=nviews == 1,
@@ -127,6 +104,7 @@ class Evaluator:
                 manual_kp_std=manual_kp_std,
                 opt_init_with_outliers=opt_init_with_outliers,
                 int8_inference=int8,
+                int8_scales_path=scales_path,
             )
             self.object_slam = ObjectSlam(cfg, mesh_db=self.mesh_db, net=net, params=params)
         self.nviews = nviews
@@ -415,7 +393,7 @@ def main():
         no_prior_det=args.no_prior_det, no_viz=args.no_viz,
         debug_saved_only=args.debug_saved_only, give_all_prior=args.give_all_prior,
         kp_config_root=args.kp_config_root, bf16=args.bf16, norm=args.norm,
-        int8=args.int8,
+        int8=args.int8, int8_scales=args.int8_scales,
     ).run()
 
 

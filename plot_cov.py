@@ -12,7 +12,7 @@ import os
 
 import numpy as np
 
-CHI2_99_2DOF = 9.210
+from suo_slam_tpu.eval.calibration import CHI2_99_2DOF, cov_chi2, pct_inbounds
 
 
 def main():
@@ -24,12 +24,13 @@ def main():
     ap.add_argument("--kp_config_root", default=None)
     ap.add_argument("--max_frames", type=int, default=200)
     ap.add_argument("--out", default=None)
-    ap.add_argument("--norm", default="group", choices=["group", "batch"])
+    ap.add_argument("--norm", default="batch", choices=["group", "batch"])
     args = ap.parse_args()
     data_root = args.data_root or os.path.join(
         os.getcwd(), "data/bop_datasets", args.dataset
     )
     out_dir = args.out or os.path.dirname(args.checkpoint_path) or "."
+    os.makedirs(out_dir, exist_ok=True)
 
     import jax
     import jax.numpy as jnp
@@ -76,10 +77,8 @@ def main():
         uv, cov = np.asarray(uv)[0], np.asarray(cov)[0]
         gt, mask = batch["uv_gt"][0], batch["kp_mask"][0]
         res = gt - uv
-        a, b_, d = cov[..., 0, 0], cov[..., 0, 1], cov[..., 1, 1]
-        det = np.maximum(a * d - b_ * b_, 1e-12)
-        chi2 = (d * res[..., 0] ** 2 - 2 * b_ * res[..., 0] * res[..., 1]
-                + a * res[..., 1] ** 2) / det
+        a, d = cov[..., 0, 0], cov[..., 1, 1]
+        chi2 = cov_chi2(uv, cov, gt)
         errs.append(np.linalg.norm(res, axis=-1)[mask])
         sigmas.append(np.sqrt(0.5 * (a + d))[mask])
         chi2s.append(chi2[mask])
@@ -87,7 +86,7 @@ def main():
     errs = np.concatenate(errs)
     sigmas = np.concatenate(sigmas)
     chi2s = np.concatenate(chi2s)
-    pct = 100.0 * float((chi2s <= CHI2_99_2DOF).mean())
+    pct = pct_inbounds(chi2s)
     msg = (f"{pct:.2f}% of {len(chi2s)} keypoint errors inside the 99% "
            f"chi2 bound of the predicted covariance")
     print("\n" + msg)

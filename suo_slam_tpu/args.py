@@ -90,6 +90,11 @@ def get_args(mode="train", argv_override=None):
                             help="int8-RESIDENT network inference (+66%% over "
                                  "bf16 at accuracy parity, BENCHMARKS.md); "
                                  "needs a norm=batch post_stem checkpoint")
+        parser.add_argument("--int8_scales", default=None,
+                            help="int8 activation-scale sidecar (.npz from "
+                                 "calibrate_int8.py); default: auto-detect "
+                                 "next to the checkpoint, else online "
+                                 "first-frames calibration")
 
     parser.add_argument("--data_root", default=None,
                         help="Override BOP dataset root (default ./data/bop_datasets/<dataset>).")

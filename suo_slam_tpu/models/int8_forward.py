@@ -335,7 +335,9 @@ def _traverse(eng, variables, images_roi, prior_kp, net):
         prior_kp = jnp.zeros((n,) + phw + (num_kp,), jnp.float32)
 
     # stem conv stays full precision (3- or 44-channel input; the conv's
-    # traffic is small and its input packing is awkward for the MXU)
+    # traffic is small and its input packing is awkward for the MXU).
+    # Measured: computing it in bf16 instead changes nothing (5037 vs 5035
+    # crops/s) — the stem bucket is HBM/fusion-bound, not MXU-bound.
     x_in = images_roi.astype(jnp.float32)
     if concat:
         # reference wiring: prior channels concat at FULL resolution before
@@ -452,6 +454,29 @@ def calibrate(net, variables, batches, prior_batches=None):
         s = one(x, prior)
         scales = s if scales is None else jax.tree.map(jnp.maximum, scales, s)
     return scales
+
+
+def save_scales(path, scales):
+    """Persist a calibration-scale tuple (`calibrate` output) as an .npz
+    checkpoint sidecar. Order is the contract — the int8 traversal consumes
+    scales positionally — so entries are stored under zero-padded indices."""
+    import numpy as np
+
+    arrays = {f"s{i:04d}": np.asarray(s, np.float32) for i, s in enumerate(scales)}
+    arrays["n"] = np.asarray(len(scales), np.int64)
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
+
+
+def load_scales(path):
+    """Load a `save_scales` sidecar back into the tuple `make_int8_apply`
+    consumes. Architecture mismatch (wrong count) is caught by the executor's
+    scale-sequence drift check at trace time."""
+    import numpy as np
+
+    with np.load(path) as z:
+        n = int(z["n"])
+        return tuple(jnp.asarray(z[f"s{i:04d}"]) for i in range(n))
 
 
 def quantize_weights(net, variables):

@@ -93,10 +93,14 @@ class SlamConfig:
     reinit_check_views: int = 15
     input_hw: tuple[int, int] = (256, 256)
     # int8-RESIDENT network inference (`models/int8_forward.py`, +66% over
-    # bf16 at trained-weight accuracy parity — BENCHMARKS.md). Scales are
-    # calibrated on the first processed frame's crops (serving warmup).
-    # Requires norm="batch" nets (post_stem or concat prior mode).
+    # bf16 at trained-weight accuracy parity — BENCHMARKS.md). Requires
+    # norm="batch" nets (post_stem or concat prior mode). Activation scales:
+    # persisted sidecar (int8_scales_path, from offline calibrate_int8.py)
+    # when given, else absmax accumulated online over the first
+    # int8_calib_frames frames' crops.
     int8_inference: bool = False
+    int8_scales_path: str | None = None
+    int8_calib_frames: int = 8
     seed: int = 666  # reference seeds 666 before eval (`evaluate.py:408`)
 
     @property
@@ -134,8 +138,15 @@ class ObjectSlam:
         self.params = params
         self._infer = None
         if net is not None and params is not None:
+            int8_scales = None
+            if config.int8_inference and config.int8_scales_path:
+                from ..models import int8_forward as i8
+
+                int8_scales = i8.load_scales(config.int8_scales_path)
             self._infer = kernels.make_frame_inference(
-                net, params, config.input_hw, int8=config.int8_inference
+                net, params, config.input_hw, int8=config.int8_inference,
+                int8_scales=int8_scales,
+                int8_calib_frames=config.int8_calib_frames,
             )
         assert config.debug_gt_kp or self._infer is not None, (
             "Need a network unless debug_gt_kp is set"

@@ -211,7 +211,8 @@ def reinit_counts(
     return counts_obj(T_pnp_OtoG), counts_obj(T_est_OtoG)
 
 
-def make_frame_inference(net, variables, input_hw=(256, 256), int8=False):
+def make_frame_inference(net, variables, input_hw=(256, 256), int8=False,
+                         int8_scales=None, int8_calib_frames=8):
     """Build the jitted fused per-frame network call.
 
     variables: the flax variables dict (`net.init(...)` / checkpoint) —
@@ -219,9 +220,17 @@ def make_frame_inference(net, variables, input_hw=(256, 256), int8=False):
     wrapped for backward compatibility.
 
     int8=True routes the backbone through the int8-RESIDENT executor
-    (`models/int8_forward.py`); activation scales are calibrated once, on
-    the first call's crops (serving-warmup pattern — the scales are absmax
-    bounds, stable across frames), then reused for the session.
+    (`models/int8_forward.py`). Activation scales come from, in order of
+    preference:
+      - `int8_scales`: a persisted calibration tuple (offline
+        `calibrate_int8.py` -> `int8_forward.load_scales` sidecar) — the
+        production path; session-independent, robust to any first frame.
+      - online fallback: absmax accumulated over the first
+        `int8_calib_frames` processed frames' crops (tree-maximized, so an
+        unrepresentative first frame — dark/empty scene — cannot pin the
+        range; each calibration frame costs one extra f32 traversal).
+        Scales are traced args of the jitted executor, so the per-frame
+        updates never recompile.
 
     Returns fn(img [H, W, 3], boxes [O, 4], obj_valid [O], prior_uv [O, K, 2],
     prior_valid [O, K]) -> (uv [O, K, 2], cov [O, K, 2, 2] | None,
@@ -267,25 +276,37 @@ def make_frame_inference(net, variables, input_hw=(256, 256), int8=False):
         out = apply_i8(variables_q, scales, crops, prior)
         return out.uv, out.cov, out.kp_mask
 
+    if int8_scales is not None:
+        state["scales"] = tuple(jnp.asarray(s) for s in int8_scales)
+        state["n_calib"] = int8_calib_frames  # calibration complete
+
     def fn(img, boxes, obj_valid, prior_uv, prior_valid):
-        if "scales" not in state:
+        if state.get("n_calib", 0) < int8_calib_frames:
             crops, prior = stage_j(img, boxes, obj_valid, prior_uv, prior_valid)
-            # The first frame never has prior detections (no object has a map
-            # pose yet), so its rendered prior is all-zero — calibrating the
-            # prior quant point on it would collapse that scale to ~1e-8 and
-            # silently erase all later prior feedback. Calibrate with a
-            # worst-case prior instead: peak-1 Gaussians on every channel
-            # (the prior's value range is [0, 1] by construction,
-            # `ops/heatmap.py render_prior_heatmaps`).
+            # A frame often has no prior detections (frame 1 never does: no
+            # object has a map pose yet), so its rendered prior can be
+            # all-zero — calibrating the prior quant point on it would
+            # collapse that scale to ~1e-8 and silently erase all later
+            # prior feedback. Calibrate with a worst-case prior instead:
+            # peak-1 Gaussians on every channel (the prior's value range is
+            # [0, 1] by construction, `ops/heatmap.py
+            # render_prior_heatmaps`).
             k = prior.shape[-1]
             full_uv = jnp.zeros((prior.shape[0], k, 2), prior.dtype)
             full_prior = hm.render_prior_heatmaps(
                 full_uv, jnp.ones((prior.shape[0], k), bool), hw=phw,
                 sigma_px=hm.prior_sigma_for(phw),
             ).astype(prior.dtype)
-            state["scales"] = i8.calibrate(net, variables, [crops], [full_prior])
+            s = i8.calibrate(net, variables, [crops], [full_prior])
+            state["scales"] = (
+                s if "scales" not in state
+                else jax.tree.map(jnp.maximum, state["scales"], s)
+            )
+            state["n_calib"] = state.get("n_calib", 0) + 1
+        if "vq" not in state:
             state["vq"] = i8.quantize_weights(net, variables)
         return run_i8(state["vq"], state["scales"], img, boxes, obj_valid,
                       prior_uv, prior_valid)
 
+    fn.int8_state = state  # introspection for tests / scale persistence
     return fn

@@ -102,8 +102,9 @@ def test_evaluate_slam_mode_gt_kp(bop_layout, tmp_path):
 
 def test_train_val_best_then_int8_eval(bop_layout, tmp_path):
     """Default-flags story: train (norm=batch default) with the held-out
-    validation epoch driving model_best/best.txt/viz_best, then run
-    `evaluate.py --int8` straight from the produced checkpoint."""
+    validation epoch driving model_best/best.txt/viz_best, calibrate int8
+    scales offline into the checkpoint sidecar, then run
+    `evaluate.py --int8` which auto-detects it."""
     kp_root = os.path.join(bop_layout, "kp_configs")
     cmd = [
         sys.executable, os.path.join(REPO, "train.py"),
@@ -122,6 +123,18 @@ def test_train_val_best_then_int8_eval(bop_layout, tmp_path):
     assert best_txt and "val_err=" in best_txt[0].read_text()
     assert list(tmp_path.rglob("viz_best/*.png")), res.stdout[-2000:]
 
+    # offline int8 calibration -> sidecar next to the checkpoint
+    cmd_cal = [
+        sys.executable, os.path.join(REPO, "calibrate_int8.py"),
+        "--dataset", "ycbv", "--data_root", bop_layout,
+        "--kp_config_root", kp_root, "--checkpoint_path", str(best[0]),
+        "--n_frames", "3", "--batch_size", "4", "--no_bf16",
+    ]
+    res_cal = _run(cmd_cal, cwd=str(tmp_path), extra_env=env)
+    sidecar = best[0].parent / (best[0].name + ".int8_scales.npz")
+    assert sidecar.is_file(), res_cal.stdout[-2000:]
+    assert "saved" in res_cal.stdout and "activation scales" in res_cal.stdout
+
     cmd2 = [
         sys.executable, os.path.join(REPO, "evaluate.py"),
         "--nviews", "1", "--dataset", "ycbv", "--data_root", bop_layout,
@@ -129,6 +142,7 @@ def test_train_val_best_then_int8_eval(bop_layout, tmp_path):
         "--int8", "--no_viz", "--detection_type", "gt", "--no_bf16",
     ]
     res2 = _run(cmd2, cwd=str(tmp_path), extra_env=env)
+    assert "int8 scales sidecar" in res2.stdout, res2.stdout[-2000:]
     assert "AUC of ADD(-S)" in res2.stdout, res2.stdout[-2000:]
 
 

@@ -177,3 +177,30 @@ def test_calib_engine_rejects_prequantized_tree():
     vq = i8.quantize_weights(net, v)
     with pytest.raises(ValueError, match="ORIGINAL f32 weights"):
         i8.calibrate(net, vq, [x])
+
+
+def test_scales_save_load_roundtrip(setup, tmp_path):
+    """Persisted sidecar scales must reproduce the int8 outputs EXACTLY
+    (order and values are the contract the executor consumes positionally)."""
+    net, v, x, prior, _, scales, apply_i8, out_i8 = setup
+    path = tmp_path / "int8_scales.npz"
+    i8.save_scales(str(path), scales)
+    loaded = i8.load_scales(str(path))
+    assert len(loaded) == len(scales)
+    for a, b in zip(scales, loaded):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+    out2 = apply_i8(v, loaded, x, prior)
+    np.testing.assert_array_equal(
+        np.asarray(out_i8.prob_logits, np.float32),
+        np.asarray(out2.prob_logits, np.float32),
+    )
+
+
+def test_loaded_scales_count_mismatch_raises(setup, tmp_path):
+    """A sidecar from a different architecture must fail loudly via the
+    scale-sequence drift check, not silently mis-scale."""
+    net, v, x, prior, _, scales, apply_i8, _ = setup
+    bad = scales[:-2]
+    with pytest.raises(ValueError, match="drift"):
+        i8.make_int8_apply(net)(v, bad, x[:1], prior[:1])

@@ -103,3 +103,89 @@ def test_int8_frame_inference_prior_not_erased_by_first_frame_calibration():
     assert not np.allclose(np.asarray(uv0), np.asarray(uv1), atol=1e-4), (
         "prior input had no effect — quant scale collapsed?"
     )
+
+
+@pytest.mark.slow
+def test_int8_adversarial_first_frame_calibration():
+    """ADVICE/VERDICT r2: a dark, unrepresentative first frame must not pin
+    the int8 activation ranges for the whole session. The online fallback
+    accumulates absmax over the first N frames (tree-maximized), and a
+    persisted sidecar bypasses online calibration entirely — both must keep
+    a later bright frame's uv error vs the f32 reference at the same level
+    as a well-calibrated run."""
+    from suo_slam_tpu.models import int8_forward as i8
+    from suo_slam_tpu.slam import kernels
+
+    net = PkpNet(n_stack=1, n_modules=1, features=16, norm="batch")
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+    rng = np.random.default_rng(7)
+    bright = rng.uniform(0, 1, (120, 160, 3)).astype(np.float32)
+    dark = (bright * 0.02).astype(np.float32)  # ~50x smaller activations
+    boxes = jnp.asarray([[10.0, 10, 100, 100]], jnp.float32)
+    valid = jnp.ones((1,), bool)
+    no_prior = (jnp.zeros((1, 41, 2)), jnp.zeros((1, 41), bool))
+
+    def uv_err_vs_f32(fn):
+        """Drive: dark frame 0, then bright frames; error on the last."""
+        fn(jnp.asarray(dark), boxes, valid, *no_prior)
+        for _ in range(3):
+            uv, _, _ = fn(jnp.asarray(bright), boxes, valid, *no_prior)
+        # f32 oracle on the same crops via the engine's own staged inputs
+        from suo_slam_tpu.ops import roi as roi_ops
+
+        crops = roi_ops.roi_crop_batch(
+            jnp.asarray(bright)[None], boxes[None], valid[None], (64, 64)
+        )[0]
+        ref = net.apply(variables, crops)
+        return float(np.max(np.abs(np.asarray(uv) - np.asarray(ref.uv))))
+
+    # 1) first-frame-only calibration: dark frame pins the range ->
+    #    bright-frame activations clip hard
+    fn1 = kernels.make_frame_inference(
+        net, variables, (64, 64), int8=True, int8_calib_frames=1
+    )
+    err_first_only = uv_err_vs_f32(fn1)
+
+    # 2) accumulating fallback (default): bright frames widen the scales
+    fnN = kernels.make_frame_inference(
+        net, variables, (64, 64), int8=True, int8_calib_frames=4
+    )
+    err_accum = uv_err_vs_f32(fnN)
+    # accumulation really happened: every scale >= the dark-only scale
+    s1 = jax.tree.map(np.asarray, fn1.int8_state["scales"])
+    sN = jax.tree.map(np.asarray, fnN.int8_state["scales"])
+    assert all(np.all(b >= a - 1e-6) for a, b in zip(s1, sN))
+    assert any(np.any(b > a * 2) for a, b in zip(s1, sN)), (
+        "bright frames never widened any activation range"
+    )
+
+    # 3) persisted sidecar calibrated offline on a representative frame
+    from suo_slam_tpu.ops import roi as roi_ops
+
+    crops = roi_ops.roi_crop_batch(
+        jnp.asarray(bright)[None], boxes[None], valid[None], (64, 64)
+    )[0]
+    scales = i8.calibrate(net, variables, [crops])
+    fnS = kernels.make_frame_inference(
+        net, variables, (64, 64), int8=True, int8_scales=scales
+    )
+    err_sidecar = uv_err_vs_f32(fnS)
+
+    # well-calibrated baseline: bright frame first
+    fnB = kernels.make_frame_inference(
+        net, variables, (64, 64), int8=True, int8_calib_frames=1
+    )
+    fnB(jnp.asarray(bright), boxes, valid, *no_prior)
+    uvB, _, _ = fnB(jnp.asarray(bright), boxes, valid, *no_prior)
+    ref = net.apply(variables, crops)
+    err_baseline = float(np.max(np.abs(np.asarray(uvB) - np.asarray(ref.uv))))
+
+    # robust paths hold the baseline accuracy (allow small PTQ jitter);
+    # the dark-pinned path is the one that degrades
+    assert err_accum <= max(2 * err_baseline, 0.02), (err_accum, err_baseline)
+    assert err_sidecar <= max(2 * err_baseline, 0.02), (err_sidecar, err_baseline)
+    assert err_first_only > 2 * max(err_accum, err_sidecar), (
+        f"adversarial scenario too weak: first-only {err_first_only} vs "
+        f"accum {err_accum} / sidecar {err_sidecar}"
+    )
