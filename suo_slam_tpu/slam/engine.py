@@ -689,19 +689,39 @@ class ObjectSlam:
             for view_id_old in self.view_ids[: -c.max_active_views]:
                 cam_frozen[self.view_slot[view_id_old]] = True
 
-        problem = ba.BAProblem(
-            cam_T=jnp.asarray(self.cam_T),
-            obj_T=jnp.asarray(self.obj_T),
-            uv=self._dev_buf("uv"),
-            info=self._dev_buf("info"),
-            model_kp=self._dev_buf("model_kp"),
-            cam_k=self._dev_buf("cam_k4"),
-            valid=self._dev_buf("valid"),
-            inliers=self._dev_buf("inliers"),
-            cam_active=jnp.asarray(cam_sel & self.cam_active),
-            obj_active=jnp.asarray(self.obj_active),
-            cam_frozen=jnp.asarray(cam_frozen),
-        )
+        if curr_only:
+            # Tracking optimizes ONE camera over unary edges — slice the
+            # problem to just the current view row so its cost and jit shape
+            # are O(1) in the view capacity. Without this, every per-frame
+            # tracking solve scans the full padded [V, O, K] buffers and
+            # recompiles at each capacity doubling (at V=512 that was ~100x
+            # the useful work on a long sequence).
+            problem = ba.BAProblem(
+                cam_T=jnp.asarray(self.cam_T[v : v + 1]),
+                obj_T=jnp.asarray(self.obj_T),
+                uv=self._dev_buf("uv")[v : v + 1],
+                info=self._dev_buf("info")[v : v + 1],
+                model_kp=self._dev_buf("model_kp"),
+                cam_k=self._dev_buf("cam_k4")[v : v + 1],
+                valid=self._dev_buf("valid")[v : v + 1],
+                inliers=self._dev_buf("inliers")[v : v + 1],
+                cam_active=jnp.ones((1,), bool),
+                obj_active=jnp.asarray(self.obj_active),
+            )
+        else:
+            problem = ba.BAProblem(
+                cam_T=jnp.asarray(self.cam_T),
+                obj_T=jnp.asarray(self.obj_T),
+                uv=self._dev_buf("uv"),
+                info=self._dev_buf("info"),
+                model_kp=self._dev_buf("model_kp"),
+                cam_k=self._dev_buf("cam_k4"),
+                valid=self._dev_buf("valid"),
+                inliers=self._dev_buf("inliers"),
+                cam_active=jnp.asarray(cam_sel & self.cam_active),
+                obj_active=jnp.asarray(self.obj_active),
+                cam_frozen=jnp.asarray(cam_frozen),
+            )
         rounds = (
             (10, 10, 40, 40)
             if (c.sfm_mode or (c.slam_mode and not curr_only))
@@ -718,8 +738,8 @@ class ObjectSlam:
         new_obj = np.asarray(result.obj_T)
         new_inl = np.asarray(result.inliers)
         if curr_only:
-            self.cam_T[v] = new_cam[v]
-            self.inliers[v] = new_inl[v]
+            self.cam_T[v] = new_cam[0]
+            self.inliers[v] = new_inl[0]
             self._sync_view_row(v)
         else:
             upd = self.cam_active
