@@ -77,6 +77,29 @@ def test_sharded_inference_matches_local():
     np.testing.assert_allclose(np.asarray(mask_s), np.asarray(out.kp_mask), atol=1e-3)
 
 
+@pytest.mark.slow
+def test_sharded_inference_flagship_shapes():
+    """VERDICT r2 #6: the 8-device sharded serving path at the FLAGSHIP
+    config — full-size PkpNet (nStack=2, nModules=2, nFeats=256), 256x256
+    crops, 41 channels — must match local execution, so multi-device
+    semantics are proven at real shapes, not just the tiny stand-in."""
+    assert len(jax.devices()) >= 8, "conftest must set 8 virtual devices"
+    mesh = data_parallel_mesh()
+    net = PkpNet()
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 256, 256, 3))
+    variables = jax.jit(net.init)(jax.random.PRNGKey(0), x[:1])
+    ph, pw = net.prior_hw((256, 256))
+    prior = jnp.zeros((8, ph, pw, 41))
+    fn = make_sharded_inference(net, variables, mesh, input_hw=(256, 256))
+    uv_s, cov_s, mask_s = fn(x, prior)
+    out = net.apply(variables, x, prior)
+    np.testing.assert_allclose(np.asarray(uv_s), np.asarray(out.uv), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(mask_s), np.asarray(out.kp_mask),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(cov_s), np.asarray(out.cov),
+                               atol=1e-3)
+
+
 def test_pad_to_multiple():
     x = np.ones((5, 3))
     p, n = pad_to_multiple(x, 8)
