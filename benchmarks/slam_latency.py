@@ -107,11 +107,13 @@ def main():
 
     results = {}
     for tag, V, rounds, tracking in [
-        ("BA tracking (V=16 buf)", 16, (10, 10, 10, 10), True),
+        # the engine slices tracking problems to V=1 (O(1) in view capacity)
+        ("BA tracking (V=1 slice)", 1, (10, 10, 10, 10), True),
         ("BA global (V=64, O=8)", 64, (10, 10, 40, 40), False),
         # Schur-complement scaling check: cameras are eliminated blockwise,
         # so cost should stay ~linear in V (sliding-window headroom)
         ("BA global (V=256, O=8)", 256, (10, 10, 40, 40), False),
+        ("BA global (V=512, O=8)", 512, (10, 10, 40, 40), False),
     ]:
         prob = ba.BAProblem(
             cam_T=jnp.tile(jnp.eye(4, dtype=jnp.float32), (V, 1, 1)),
