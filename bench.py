@@ -33,8 +33,9 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_CROPS_PER_SEC = 5000.0
-CHUNK = 256
-N_CHUNKS = 16
+# SUO_BENCH_CHUNK overrides the batch per scan step (layout sweeps)
+CHUNK = int(os.environ.get("SUO_BENCH_CHUNK", "256"))
+N_CHUNKS = max(1, 4096 // CHUNK)
 WARMUP = 1
 REPEATS = 3
 

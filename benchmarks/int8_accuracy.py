@@ -10,7 +10,11 @@ held-out test split:
   - keypoint uv MAE vs GT (NDC units) over valid keypoints,
   - validity-head agreement (kp_mask thresholded at 0.3, reference gate
     `lib/object_slam.py:1102`),
-  - PnP pose errors (rotation deg / translation mm) from each path's uv.
+  - PnP pose errors (rotation deg / translation mm) from each path's uv,
+  - covariance calibration: % of errors inside the 99% chi2 bound of the
+    predicted 2x2 covariance (the `plot_cov.py` protocol, reference
+    `/root/reference/plot_cov.py:141-157`) — the paper's core uncertainty
+    claim, checked at trained weights for BOTH bf16 and int8.
 
 Overfitting the tiny fixture is intentional: it produces SHARP heatmaps —
 the hardest case for quantized soft-argmax (a flat random-weight heatmap
@@ -51,6 +55,7 @@ def main():
 
     from helpers.synthetic_bop import write_synthetic_bop
     from suo_slam_tpu.data.bop import BopDataset
+    from suo_slam_tpu.eval.calibration import cov_chi2, pct_inbounds
     from suo_slam_tpu.models import PkpNet
     from suo_slam_tpu.models import int8_forward as i8
     from suo_slam_tpu.ops import roi as roi_ops
@@ -120,7 +125,8 @@ def main():
                          kp_config_root=os.path.join(root, "kp_configs"),
                          seed=args.seed)
     eval_sets = [("test", test_ds, None), ("train", eval_ds, 8)]
-    stats = {f"{tag}_{k}": dict(uv_err=[], mask_agree=[], rot_deg=[], t_mm=[])
+    stats = {f"{tag}_{k}": dict(uv_err=[], mask_agree=[], rot_deg=[], t_mm=[],
+                                chi2=[])
              for k in ("bf16", "int8") for tag, _, _ in eval_sets}
     for tag, dset, limit in eval_sets:
       n_done = 0
@@ -147,6 +153,11 @@ def main():
                 m = raw["kp_masks"]
                 err = np.abs(uv - gt_uv)[m].mean() if m.any() else np.nan
                 stats[name]["uv_err"].append(err)
+                if out.cov is not None and m.any():
+                    # plot_cov protocol: Mahalanobis chi2 of each valid
+                    # keypoint error under the predicted 2x2 covariance
+                    cov = np.asarray(out.cov, np.float64)
+                    stats[name]["chi2"].append(cov_chi2(uv, cov, gt_uv)[m])
                 stats[name]["mask_agree"].append(
                     float((pm == raw["kp_masks"]).mean())
                 )
@@ -183,12 +194,19 @@ def main():
 
     report = {}
     for name, d in stats.items():
+        chi2s = (np.concatenate(d["chi2"]) if d["chi2"]
+                 else np.empty((0,), np.float64))
         report[name] = {
             "uv_mae_ndc": float(np.nanmean(d["uv_err"])),
             "mask_agreement": float(np.mean(d["mask_agree"])),
             "rot_err_deg_med": float(np.median(d["rot_deg"])) if d["rot_deg"] else None,
             "t_err_mm_med": float(np.median(d["t_mm"])) if d["t_mm"] else None,
             "n_poses": len(d["rot_deg"]),
+            # % of keypoint errors inside the 99% chi2 bound of the predicted
+            # covariance (100 = all explained; calibrated sits near 99,
+            # reference protocol `/root/reference/plot_cov.py:141-157`)
+            "cov_pct_in_chi2_99": pct_inbounds(chi2s),
+            "n_chi2": int(chi2s.size),
         }
     for tag in ("test", "train"):
         report[f"delta_uv_mae_ndc_{tag}"] = (
