@@ -12,14 +12,15 @@ scales. Accuracy at trained weights is validated by
 `benchmarks/int8_accuracy.py` (uv MAE / validity / PnP pose parity vs bf16);
 set SUO_BENCH_PATH=bf16 for the full-precision baseline.
 
-Protocol: `lax.scan` over CHUNKS of 256 distinct crop batches inside one
-jitted program — batch 256 is the measured device sweet spot (the {3,0,2,1}
-batch-in-sublanes int8 layout tiles best there; 512/1024 are 4-6% slower
-per crop), and in-program chaining removes per-dispatch host overhead that
-no serving deployment pays (each chunk's results still force uv/cov/mask
-computation). Images feed as bf16 — the uint8-sourced pixels lose nothing
-and XLA runs the stem in bf16 regardless. The SLAM engine's per-frame
-latency path is measured separately in benchmarks/slam_latency.py.
+Protocol: `lax.scan` over CHUNKS of 128 distinct crop batches inside one
+jitted program — batch 128 is the measured device sweet spot (7% faster
+per crop than 256, which beats 512/1024 by another 4-6%: the {3,0,2,1}
+batch-in-sublanes int8 layout tiles best small), and in-program chaining
+removes per-dispatch host overhead that no serving deployment pays (each
+chunk's results still force uv/cov/mask computation). Images feed as bf16 —
+the uint8-sourced pixels lose nothing and XLA runs the stem in bf16
+regardless. The SLAM engine's per-frame latency path is measured separately
+in benchmarks/slam_latency.py.
 
 Baseline for `vs_baseline`: the driver north star of 5000 crops/sec/chip
 (BASELINE.json "north_star"; the reference repo publishes no numbers).
@@ -34,7 +35,7 @@ import jax.numpy as jnp
 
 BASELINE_CROPS_PER_SEC = 5000.0
 # SUO_BENCH_CHUNK overrides the batch per scan step (layout sweeps)
-CHUNK = int(os.environ.get("SUO_BENCH_CHUNK", "256"))
+CHUNK = int(os.environ.get("SUO_BENCH_CHUNK", "128"))
 N_CHUNKS = max(1, 4096 // CHUNK)
 WARMUP = 1
 REPEATS = 3

@@ -112,6 +112,14 @@ class _CalibEngine:
         self._record(xf, pc)
         return _CalAct(xf, pc)
 
+    def quant_pair(self, xf, aff_a, aff_b, pc=True):
+        """Dual-output quantization point: the raw trunk tensor AND the next
+        block's pre-normed conv input, from the same virtual f32 value (two
+        calibration points, same order as the quant+nrq it replaces)."""
+        raw = self.quant(xf, pc)
+        normed = self.quant(jnp.maximum(xf * aff_a + aff_b, 0.0))
+        return raw, normed
+
     def dequant(self, a):
         return a.x
 
@@ -200,6 +208,20 @@ class _Int8Engine:
         q, s = self._q(xf / s.astype(xf.dtype), s)
         return QT(q, s)
 
+    def quant_pair(self, xf, aff_a, aff_b, pc=True):
+        """Emit the raw trunk tensor AND the next block's normed conv input
+        from ONE virtual value: XLA forms a multi-output fusion, so the
+        trunk tensor is not re-read by a separate nrq kernel at every
+        chained block boundary (s8 re-reads dominated the 64x64 level).
+        Numerically this skips the nrq's double quantization (the norm here
+        applies to the pre-quantization value) — strictly less noise."""
+        raw = self.quant(xf, pc)
+        s_n = self._next_scale()
+        m = (aff_a / s_n).astype(xf.dtype)
+        c = (aff_b / s_n).astype(xf.dtype)
+        q, s = self._q(jnp.maximum(xf * m + c, 0.0), s_n)
+        return raw, QT(q, s)
+
     def dequant(self, a: QT):
         return a.q.astype(jnp.bfloat16) * a.s.astype(jnp.bfloat16)
 
@@ -266,16 +288,24 @@ class _Int8Engine:
         return self.dequant(up1) + up.astype(jnp.bfloat16) * low.s.astype(jnp.bfloat16)
 
 
-def _residual(eng, p, s, act_x, features, out_pc=True):
+def _residual(eng, p, s, act_x, features, out_pc=True, pre_norm=None,
+              pair_aff=None):
     """hourglass.Residual with int8-resident staging.
 
     out_pc=False when the block output feeds a convolution directly (per-
-    tensor scale required there); trunk outputs default to per-channel."""
+    tensor scale required there); trunk outputs default to per-channel.
+    pre_norm: the block's normed+relu'd conv input already emitted by the
+    producer's dual-output fusion (skips this block's own nrq pass).
+    pair_aff: (a, b) Norm_0 affine of the NEXT chained block — when given,
+    returns (raw_out, normed_out) from one quant_pair fusion."""
     cin = eng.channels(act_x)
-    a0, b0 = _norm_params(p, s, "Norm_0")
     a1, b1 = _norm_params(p, s, "Norm_1")
     a2, b2 = _norm_params(p, s, "Norm_2")
-    act1 = eng.nrq(act_x, a0, b0)
+    if pre_norm is None:
+        a0, b0 = _norm_params(p, s, "Norm_0")
+        act1 = eng.nrq(act_x, a0, b0)
+    else:
+        act1 = pre_norm
     act2 = eng.conv_nrq(act1, p["Conv_0"], a1, b1)
     act3 = eng.conv_nrq(act2, p["Conv_1"], a2, b2, padding=[(1, 1), (1, 1)])
     if cin != features:
@@ -289,7 +319,34 @@ def _residual(eng, p, s, act_x, features, out_pc=True):
     else:
         y = eng.conv_raw(act3, p["Conv_2"])
         skip = eng.dequant(act_x)
-    return eng.quant(skip + y, pc=out_pc)
+    if pair_aff is None:
+        return eng.quant(skip + y, pc=out_pc)
+    return eng.quant_pair(skip + y, pair_aff[0], pair_aff[1], pc=out_pc)
+
+
+def _norm0_aff(p, s, name):
+    return _norm_params(p[name], s[name], "Norm_0")
+
+
+def _res_chain(eng, p, s, act, features, idxs, pre_norm=None,
+               last_out_pc=True, tail_aff=None):
+    """Consecutive Residual blocks with every boundary's Norm_0 fused into
+    the producer's dual-output quantization (no standalone nrq re-read of
+    the trunk tensor between chained blocks).
+
+    tail_aff: pair the LAST block's output with a downstream consumer's
+    Norm_0 too (e.g. across a junction). Returns (act, pre_norm_or_None)."""
+    for j, i in enumerate(idxs):
+        last = j == len(idxs) - 1
+        aff = tail_aff if last else _norm0_aff(p, s, f"Residual_{idxs[j + 1]}")
+        res = _residual(eng, p[f"Residual_{i}"], s[f"Residual_{i}"], act,
+                        features, out_pc=(last_out_pc if last else True),
+                        pre_norm=pre_norm, pair_aff=aff)
+        if aff is None:
+            act, pre_norm = res, None
+        else:
+            act, pre_norm = res
+    return act, pre_norm
 
 
 def _per_tensor(eng, act):
@@ -299,28 +356,37 @@ def _per_tensor(eng, act):
     return act
 
 
-def _hourglass(eng, p, s, act_x, depth, n_modules, features):
-    r = 0
-    up1 = act_x
-    for _ in range(n_modules):
-        up1 = _residual(eng, p[f"Residual_{r}"], s[f"Residual_{r}"], up1, features)
-        r += 1
+def _hourglass(eng, p, s, act_x, depth, n_modules, features, pre_norm=None,
+               ret_aff=None):
+    """pre_norm: act_x's normed form already emitted by the producer (used
+    by the up1 chain's first block; the maxpool branch still consumes the
+    raw tensor). ret_aff: when given, the return junction dual-emits the
+    caller's next Norm_0 input too (returns a (raw, normed) pair)."""
+    nm = n_modules
+    up1, _ = _res_chain(eng, p, s, act_x, features, list(range(nm)),
+                        pre_norm=pre_norm)
     low = eng.maxpool(act_x)
-    for _ in range(n_modules):
-        low = _residual(eng, p[f"Residual_{r}"], s[f"Residual_{r}"], low, features)
-        r += 1
     if depth > 1:
-        low = _hourglass(eng, p["Hourglass_0"], s["Hourglass_0"], low,
-                         depth - 1, n_modules, features)
+        # chain the pooled blocks straight into the inner hourglass's first
+        # up1 block (the inner maxpool branch reads the raw tensor)
+        inner_aff = _norm0_aff(p["Hourglass_0"], s["Hourglass_0"], "Residual_0")
+        low, pn = _res_chain(eng, p, s, low, features,
+                             list(range(nm, 2 * nm)), tail_aff=inner_aff)
+        # the inner return junction dual-emits our after-chain's first norm
+        after0 = _norm0_aff(p, s, f"Residual_{2 * nm}")
+        low, pn = _hourglass(eng, p["Hourglass_0"], s["Hourglass_0"], low,
+                             depth - 1, nm, features, pre_norm=pn,
+                             ret_aff=after0)
+        low, _ = _res_chain(eng, p, s, low, features,
+                            list(range(2 * nm, 3 * nm)), pre_norm=pn)
     else:
-        for _ in range(n_modules):
-            low = _residual(eng, p[f"Residual_{r}"], s[f"Residual_{r}"], low,
-                            features)
-            r += 1
-    for _ in range(n_modules):
-        low = _residual(eng, p[f"Residual_{r}"], s[f"Residual_{r}"], low, features)
-        r += 1
-    return eng.quant(eng.upsample_add(up1, low), pc=True)
+        # innermost: pooled chain -> bottom chain -> after chain, one run
+        low, _ = _res_chain(eng, p, s, low, features,
+                            list(range(nm, 4 * nm)))
+    out = eng.upsample_add(up1, low)
+    if ret_aff is None:
+        return eng.quant(out, pc=True)
+    return eng.quant_pair(out, ret_aff[0], ret_aff[1], pc=True)
 
 
 def _traverse(eng, variables, images_roi, prior_kp, net):
@@ -352,31 +418,43 @@ def _traverse(eng, variables, images_roi, prior_kp, net):
     ) + p["Conv_0"]["bias"]
     a0, b0 = _norm_params(p, s, "Norm_0")
     x = jnp.maximum(x * a0 + b0, 0.0)
-    act = eng.quant(x)
-    act = _residual(eng, p["Residual_0"], s["Residual_0"], act, 128)
+    # stem output dual-emits Residual_0's normed input (chained boundary);
+    # every block->block boundary below does the same — the standalone nrq
+    # re-read of the trunk tensor only remains after maxpools, where the
+    # norm affine (possibly negative scale) does not commute with the pool.
+    act, pn = eng.quant_pair(x, *_norm0_aff(p, s, "Residual_0"), pc=False)
+    act = _residual(eng, p["Residual_0"], s["Residual_0"], act, 128,
+                    pre_norm=pn)
     act = eng.maxpool(act)
-    act = _residual(eng, p["Residual_1"], s["Residual_1"], act, 128)
-    act = _residual(eng, p["Residual_2"], s["Residual_2"], act, features)
+    act, pn = _residual(eng, p["Residual_1"], s["Residual_1"], act, 128,
+                        pair_aff=_norm0_aff(p, s, "Residual_2"))
+    hg0_aff = _norm0_aff(p["Hourglass_0"], s["Hourglass_0"], "Residual_0")
     if concat:
+        act, pn = _residual(eng, p["Residual_2"], s["Residual_2"], act,
+                            features, pre_norm=pn, pair_aff=hg0_aff)
         conv_i = 1
     else:
+        act = _residual(eng, p["Residual_2"], s["Residual_2"], act, features,
+                        pre_norm=pn)
         prior_act = eng.quant(prior_kp.astype(jnp.float32))
-        act = eng.quant(
-            eng.dequant(act) + eng.conv_raw(prior_act, p["Conv_1"]), pc=True
+        act, pn = eng.quant_pair(
+            eng.dequant(act) + eng.conv_raw(prior_act, p["Conv_1"]),
+            *hg0_aff, pc=True,
         )
         conv_i = 2
 
     norm_i, res_i = 1, 3
     outs = []
     for i in range(net.n_stack):
-        hg = _hourglass(eng, p[f"Hourglass_{i}"], s[f"Hourglass_{i}"], act,
-                        4, n_modules, features)
-        ll = hg
-        for m in range(n_modules):
-            # the last block's output feeds a conv directly -> per-tensor
-            ll = _residual(eng, p[f"Residual_{res_i}"], s[f"Residual_{res_i}"],
-                           ll, features, out_pc=(m < n_modules - 1))
-            res_i += 1
+        # the hourglass return junction dual-emits the ll chain's first norm
+        hg, pn = _hourglass(eng, p[f"Hourglass_{i}"], s[f"Hourglass_{i}"],
+                            act, 4, n_modules, features, pre_norm=pn,
+                            ret_aff=_norm0_aff(p, s, f"Residual_{res_i}"))
+        # the last block's output feeds a conv directly -> per-tensor
+        ll, _ = _res_chain(eng, p, s, hg, features,
+                           list(range(res_i, res_i + n_modules)),
+                           pre_norm=pn, last_out_pc=False)
+        res_i += n_modules
         a_l, b_l = _norm_params(p, s, f"Norm_{norm_i}")
         norm_i += 1
         ll_act = eng.conv_nrq(ll, p[f"Conv_{conv_i}"], a_l, b_l)
@@ -400,8 +478,11 @@ def _traverse(eng, variables, images_roi, prior_kp, net):
             raw_act = eng.quant(raw)
             tmp_ = eng.conv_raw(raw_act, p[f"Conv_{conv_i}"])
             conv_i += 1
-            act = eng.quant(
-                eng.dequant(act) + eng.dequant(ll_q) + tmp_, pc=True
+            act, pn = eng.quant_pair(
+                eng.dequant(act) + eng.dequant(ll_q) + tmp_,
+                *_norm0_aff(p[f"Hourglass_{i + 1}"], s[f"Hourglass_{i + 1}"],
+                            "Residual_0"),
+                pc=True,
             )
     return outs
 
