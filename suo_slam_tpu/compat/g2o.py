@@ -35,6 +35,19 @@ import numpy as np
 
 from ..solvers import ba as ba_mod
 
+# Test-only back-end swap: when set (tests/helpers/native_oracle.py builds
+# it over the REAL g2o library compiled from the reference sources), each
+# `optimize(n)` call runs native g2o on the same packed problem instead of
+# `ba.lm_run` — so the reference engine's control flow can be driven by the
+# actual g2o as a closed-loop oracle against both our solver and our engine.
+_native_lm = None
+
+
+def set_native_lm(fn) -> None:
+    """Install (or clear, fn=None) the native-g2o LM backend hook."""
+    global _native_lm
+    _native_lm = fn
+
 
 def _bucket(n: int, lo: int = 4) -> int:
     b = lo
@@ -353,6 +366,26 @@ class SparseOptimizer:
             cam_k[v, o] = e.cam_k
             valid[v, o, k] = True
 
+        use_huber = any(e._robust_kernel is not None for e in edges)
+        if _native_lm is not None:
+            obj_fixed = np.array(
+                [bool(entry._fixed) if binary else False
+                 for entry in obj_entries], bool)
+            delta = next((e._robust_kernel.delta for e in edges
+                          if e._robust_kernel is not None), 0.0)
+            cam_out, obj_out = _native_lm(
+                cam_T[:V], obj_T[:O], cam_frozen[:V], obj_fixed,
+                uv[:V, :O], info[:V, :O], model_kp[:O], cam_k[:V, :O],
+                valid[:V, :O], int(n_iters), unary, use_huber, float(delta))
+            for v, cv in enumerate(cam_verts):
+                if not cv._fixed:
+                    cv._T = np.asarray(cam_out[v], np.float64)
+            if binary:
+                for o, ov in enumerate(obj_entries):
+                    if not ov._fixed:
+                        ov._T = np.asarray(obj_out[o], np.float64)
+            return int(n_iters)
+
         problem = ba_mod.BAProblem(
             cam_T=jnp.asarray(cam_T),
             obj_T=jnp.asarray(obj_T),
@@ -366,7 +399,6 @@ class SparseOptimizer:
             obj_active=jnp.asarray(obj_active),
             cam_frozen=jnp.asarray(cam_frozen),
         )
-        use_huber = any(e._robust_kernel is not None for e in edges)
         cam_out, obj_out, _lam = ba_mod.lm_run(
             problem,
             n_iters=int(n_iters),

@@ -277,6 +277,95 @@ extern "C" int g2o_ba_optimize(
               obj_T + 16 * j);
   return 0;
 }
+
+// ONE LM run over the given edges (no chi2 round schedule — the CALLER owns
+// rounds/levels, exactly like the reference engine's Python loop around
+// g2o.SparseOptimizer.optimize). Backs suo_slam_tpu.compat.g2o's
+// native-oracle hook so the reference engine can run over the REAL g2o.
+extern "C" int g2o_lm_once(
+    int n_cams, int n_objs, int n_edges,
+    double* cam_T,                   // [n_cams,16] T_GtoC (in/out)
+    double* obj_T,                   // [n_objs,16] T_OtoG (in/out)
+    const unsigned char* cam_fixed,  // [n_cams]
+    const unsigned char* obj_fixed,  // [n_objs] (ignored when curr_only)
+    const int* edge_cam, const int* edge_obj,
+    const double* uv, const double* info,
+    const double* model_p, const double* cam_k,
+    int n_iters, int curr_only, int use_huber, double huber_delta) {
+  g2o::SparseOptimizer optimizer;
+  using BlockSolverSE3 = g2o::BlockSolver_6_3;
+  auto linear = std::make_unique<
+      g2o::LinearSolverDense<BlockSolverSE3::PoseMatrixType>>();
+  auto block = std::make_unique<BlockSolverSE3>(std::move(linear));
+  optimizer.setAlgorithm(
+      new g2o::OptimizationAlgorithmLevenberg(std::move(block)));
+  optimizer.setVerbose(false);
+
+  std::vector<g2o::VertexSE3Expmap*> obj_verts(n_objs, nullptr);
+  std::vector<Eigen::Matrix4d> obj_mats(n_objs);
+  for (int j = 0; j < n_objs; ++j) {
+    Eigen::Matrix4d M = read44(obj_T + 16 * j);
+    obj_mats[j] = M;
+    if (!curr_only) {
+      auto* v = new g2o::VertexSE3Expmap();
+      v->setId(j);
+      v->setEstimate(SE3Quat(M.block<3, 3>(0, 0), M.block<3, 1>(0, 3)));
+      v->setFixed(obj_fixed[j] != 0);
+      optimizer.addVertex(v);
+      obj_verts[j] = v;
+    }
+  }
+  std::vector<g2o::VertexSE3Expmap*> cam_verts(n_cams, nullptr);
+  for (int i = 0; i < n_cams; ++i) {
+    Eigen::Matrix4d M = read44(cam_T + 16 * i);
+    auto* v = new g2o::VertexSE3Expmap();
+    v->setId((curr_only ? 0 : n_objs) + i);
+    v->setEstimate(SE3Quat(M.block<3, 3>(0, 0), M.block<3, 1>(0, 3)));
+    v->setFixed(cam_fixed[i] != 0);
+    optimizer.addVertex(v);
+    cam_verts[i] = v;
+  }
+  for (int e = 0; e < n_edges; ++e) {
+    Eigen::Vector4d k(cam_k[4 * e], cam_k[4 * e + 1], cam_k[4 * e + 2],
+                      cam_k[4 * e + 3]);
+    Eigen::Vector3d p(model_p[3 * e], model_p[3 * e + 1], model_p[3 * e + 2]);
+    Eigen::Vector2d m(uv[2 * e], uv[2 * e + 1]);
+    Eigen::Matrix2d I;
+    I << info[4 * e], info[4 * e + 1], info[4 * e + 2], info[4 * e + 3];
+    g2o::OptimizableGraph::Edge* edge;
+    if (curr_only) {
+      auto* ed = new g2o::EdgeSE3ProjectFromFixedObject(
+          k, p, obj_mats[edge_obj[e]].block<3, 4>(0, 0));
+      ed->setVertex(0, cam_verts[edge_cam[e]]);
+      ed->setMeasurement(m);
+      ed->setInformation(I);
+      edge = ed;
+    } else {
+      auto* ed = new g2o::EdgeSE3ProjectFromObject(k, p);
+      ed->setVertex(0, obj_verts[edge_obj[e]]);
+      ed->setVertex(1, cam_verts[edge_cam[e]]);
+      ed->setMeasurement(m);
+      ed->setInformation(I);
+      edge = ed;
+    }
+    if (use_huber) {
+      auto* rk = new g2o::RobustKernelHuber();
+      rk->setDelta(huber_delta);
+      edge->setRobustKernel(rk);
+    }
+    edge->setLevel(0);
+    optimizer.addEdge(edge);
+  }
+  optimizer.initializeOptimization(0);
+  optimizer.optimize(n_iters);
+  for (int i = 0; i < n_cams; ++i)
+    write44(cam_verts[i]->estimate().to_homogeneous_matrix(), cam_T + 16 * i);
+  if (!curr_only)
+    for (int j = 0; j < n_objs; ++j)
+      write44(obj_verts[j]->estimate().to_homogeneous_matrix(),
+              obj_T + 16 * j);
+  return 0;
+}
 """
 
 # g2o translation units needed by the dense-solver LM path (everything the
@@ -319,7 +408,11 @@ def load_g2o_oracle():
     if (not os.path.isdir(REF_G2O) or shutil.which("g++") is None
             or eigen is None):
         return None
-    bdir = os.path.join(_BUILD_DIR, "g2o")
+    # content-addressed build dir: editing the shim triggers a rebuild
+    import hashlib
+
+    tag = hashlib.sha256(_G2O_SHIM_SRC.encode()).hexdigest()[:10]
+    bdir = os.path.join(_BUILD_DIR, f"g2o_{tag}")
     so = os.path.join(bdir, "libg2o_oracle.so")
     if not os.path.isfile(so):
         os.makedirs(os.path.join(bdir, "g2o"), exist_ok=True)
@@ -348,7 +441,49 @@ def load_g2o_oracle():
             return None
     lib = ctypes.CDLL(so)
     lib.g2o_ba_optimize.restype = ctypes.c_int
+    lib.g2o_lm_once.restype = ctypes.c_int
     return lib
+
+
+def make_native_lm(lib):
+    """Build the `suo_slam_tpu.compat.g2o.set_native_lm` hook over the
+    native `g2o_lm_once`: runs ONE real-g2o LM pass on the shim-packed
+    problem, so the reference engine's own round/level loop drives the
+    ACTUAL g2o library instead of the JAX solver."""
+    import numpy as np
+
+    def ptr(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    def native_lm(cam_T, obj_T, cam_fixed, obj_fixed, uv, info, model_kp,
+                  cam_k, valid, n_iters, unary, use_huber, huber_delta):
+        vv, oo, kk = np.nonzero(valid)
+        E = len(vv)
+        cam_T = np.ascontiguousarray(cam_T, np.float64).copy()
+        obj_T = np.ascontiguousarray(obj_T, np.float64).copy()
+        cf = np.ascontiguousarray(cam_fixed, np.uint8)
+        of = np.ascontiguousarray(obj_fixed, np.uint8)
+        ec = np.ascontiguousarray(vv, np.int32)
+        eo = np.ascontiguousarray(oo, np.int32)
+        euv = np.ascontiguousarray(uv[vv, oo, kk], np.float64)
+        einfo = np.ascontiguousarray(info[vv, oo, kk], np.float64).reshape(E, 4)
+        emp = np.ascontiguousarray(model_kp[oo, kk], np.float64)
+        eck = np.ascontiguousarray(cam_k[vv, oo], np.float64)
+        rc = lib.g2o_lm_once(
+            ctypes.c_int(cam_T.shape[0]), ctypes.c_int(obj_T.shape[0]),
+            ctypes.c_int(E),
+            ptr(cam_T, ctypes.c_double), ptr(obj_T, ctypes.c_double),
+            ptr(cf, ctypes.c_uint8), ptr(of, ctypes.c_uint8),
+            ptr(ec, ctypes.c_int), ptr(eo, ctypes.c_int),
+            ptr(euv, ctypes.c_double), ptr(einfo, ctypes.c_double),
+            ptr(emp, ctypes.c_double), ptr(eck, ctypes.c_double),
+            ctypes.c_int(int(n_iters)), ctypes.c_int(int(unary)),
+            ctypes.c_int(int(use_huber)), ctypes.c_double(float(huber_delta)),
+        )
+        assert rc == 0, f"g2o_lm_once rc={rc}"
+        return cam_T, obj_T
+
+    return native_lm
 
 
 def g2o_optimize(lib, cam_T, obj_T, edges, its, *, curr_only=False,

@@ -57,6 +57,7 @@ def _rss_mb():
 
 
 @pytest.mark.slow
+@pytest.mark.soak
 def test_long_sequence_soak():
     engine = _make_engine(
         max_active_views=WINDOW, view_capacity=64, obj_capacity=8

@@ -249,3 +249,37 @@ def test_tracking_matches_g2o(g2o_lib):
     assert np.degrees(a) < 5e-3 and t < 5e-2, (np.degrees(a), t)
     inl_j = np.asarray(res.inliers)[idx]
     assert (inl_j == inl_r).all()
+
+
+@pytest.mark.slow
+def test_reference_engine_on_native_g2o_three_way(g2o_lib):
+    """The strongest closed-loop claim available in this sandbox: the ACTUAL
+    reference engine driven by the ACTUAL g2o library (compiled from the
+    reference sources, via the compat shim's native hook) must agree with
+    (a) the reference engine over the JAX-solver shim — validating the shim
+    as an oracle — and (b) our TPU engine — validating the engine itself.
+    Same fixture + tolerances as tests/test_reference_engine_parity.py."""
+    from suo_slam_tpu.compat import g2o as g2o_compat
+
+    from tests.helpers.native_oracle import make_native_lm
+    from tests.helpers.synthetic_scene import StubMeshDb
+    from tests.test_reference_engine_parity import (
+        assert_state_parity, assert_timeline_parity, build_views,
+        run_ours, run_reference)
+
+    views, _ = build_views(n_obj=4, n_views=8)
+    mesh = StubMeshDb(8)
+    g2o_compat.set_native_lm(make_native_lm(g2o_lib))
+    try:
+        tl_native, ref_native = run_reference(views, mesh, global_opt_every=4)
+    finally:
+        g2o_compat.set_native_lm(None)
+    tl_shim, ref_shim = run_reference(views, mesh, global_opt_every=4)
+    tl_ours, ours = run_ours(views, mesh, global_opt_every=4)
+
+    # reference+native-g2o vs reference+JAX-shim: the shim is a faithful g2o
+    assert_timeline_parity(tl_native, tl_shim)
+    assert_state_parity(ref_native, ref_shim)
+    # reference+native-g2o vs our engine: full three-way closure
+    assert_timeline_parity(tl_native, tl_ours)
+    assert_state_parity(ref_native, ours)
