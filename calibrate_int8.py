@@ -81,6 +81,10 @@ def main(argv=None):
     ap.add_argument("--no_bf16", dest="bf16", action="store_false")
     args = ap.parse_args(argv)
 
+    from suo_slam_tpu.utils.jit_cache import enable_jit_cache
+
+    enable_jit_cache()
+
     from suo_slam_tpu.data.bop import BopDataset
     from suo_slam_tpu.eval.loading import default_scales_path, load_eval_network
     from suo_slam_tpu.models import int8_forward as i8

@@ -377,7 +377,9 @@ class Evaluator:
 
 def main():
     from suo_slam_tpu.args import get_args
+    from suo_slam_tpu.utils.jit_cache import enable_jit_cache
 
+    enable_jit_cache()
     args = get_args("eval")
     if args.debug_gt_kp:
         args.detection_type = "gt"

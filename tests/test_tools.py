@@ -179,3 +179,24 @@ def test_render_shaded_matches_depth_and_shades_faces():
     assert vals.min() >= 0.3 * 200 and vals.max() <= 255
     # a rotated cuboid shows >= 2 visible faces with distinct shading
     assert len(np.unique(rgb[hit][:, 0])) >= 2
+
+
+def test_enable_jit_cache(tmp_path, monkeypatch):
+    """CLI jit-cache helper: env dir honored, '0' disables, dir created."""
+    import jax
+
+    from suo_slam_tpu.utils.jit_cache import enable_jit_cache
+
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        d = str(tmp_path / "jitcache")
+        monkeypatch.setenv("SUO_JIT_CACHE", d)
+        assert enable_jit_cache() == d
+        import os
+
+        assert os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+        monkeypatch.setenv("SUO_JIT_CACHE", "0")
+        assert enable_jit_cache() is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)

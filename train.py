@@ -229,7 +229,9 @@ def main():
     from suo_slam_tpu.models import PkpNet
     from suo_slam_tpu.train import checkpoint as ckpt
     from suo_slam_tpu.train import harness
+    from suo_slam_tpu.utils.jit_cache import enable_jit_cache
 
+    enable_jit_cache()
     args = get_args("train")
     print("======= Train Args ================")
     for k, v in sorted(vars(args).items()):
