@@ -21,7 +21,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-CHAIN = 16
+CHAIN = 16       # heavy programs (BA buckets, the network)
+CHAIN_TINY = 256  # sub-ms kernels: long chains shrink the tunnel-noise
+                  # floor (~0.3 ms rtt jitter / CHAIN per-call error)
 
 
 def measure_rtt():
@@ -37,15 +39,15 @@ def measure_rtt():
     return (time.perf_counter() - t0) / 10
 
 
-def timeit_chained(tag, make_chain, rtt, iters=5):
-    """make_chain: () -> jitted fn returning a scalar after CHAIN dependent
+def timeit_chained(tag, make_chain, rtt, iters=5, chain=CHAIN):
+    """make_chain: () -> jitted fn returning a scalar after `chain` dependent
     applications of the kernel."""
     fn = make_chain()
     float(fn())
     t0 = time.perf_counter()
     for _ in range(iters):
         float(fn())
-    per_call = ((time.perf_counter() - t0) / iters - rtt) / CHAIN
+    per_call = ((time.perf_counter() - t0) / iters - rtt) / chain
     print(f"{tag}: {1e3 * per_call:.3f} ms/call (on-device)")
     return per_call
 
@@ -76,12 +78,13 @@ def main():
                 acc = acc + jnp.sum(T)
                 return yy + 1e-12 * acc, acc
 
-            _, acc = jax.lax.fori_loop(0, CHAIN, body, (y, jnp.float32(0)))
+            _, acc = jax.lax.fori_loop(0, CHAIN_TINY, body, (y, jnp.float32(0)))
             return acc
 
         return fn
 
-    t_pnp = timeit_chained("pnp_frame (8 objs x 41 kp, 64 hyps)", chain_pnp, rtt)
+    t_pnp = timeit_chained("pnp_frame (8 objs x 41 kp, 64 hyps)", chain_pnp, rtt,
+                           chain=CHAIN_TINY)
 
     T_id = jnp.tile(jnp.eye(4, dtype=jnp.float32), (O, 1, 1))
     ok = jnp.ones((O,), bool)
@@ -98,12 +101,13 @@ def main():
                 acc = acc + jnp.sum(T) + cnt
                 return yy + 1e-12 * acc, acc
 
-            _, acc = jax.lax.fori_loop(0, CHAIN, body, (y, jnp.float32(0)))
+            _, acc = jax.lax.fori_loop(0, CHAIN_TINY, body, (y, jnp.float32(0)))
             return acc
 
         return fn
 
-    t_cam = timeit_chained("camera_pose_ransac (8x8x41)", chain_cam, rtt)
+    t_cam = timeit_chained("camera_pose_ransac (8x8x41)", chain_cam, rtt,
+                           chain=CHAIN_TINY)
 
     results = {}
     for tag, V, rounds, tracking in [
@@ -115,10 +119,19 @@ def main():
         ("BA global (V=256, O=8)", 256, (10, 10, 40, 40), False),
         ("BA global (V=512, O=8)", 512, (10, 10, 40, 40), False),
     ]:
+        # CONSISTENT measurements (projected model points + sigma-scale
+        # noise): with random uv nearly every edge fails the chi2 gate and
+        # the optimizer no-ops (`ba.optimize` skips rounds below 4 inliers),
+        # which would time the gate, not the solve.
+        obj_T = jnp.tile(jnp.eye(4, dtype=jnp.float32), (O, 1, 1)).at[:, 2, 3].set(600.0)
+        p_c = x + jnp.asarray([0.0, 0.0, 600.0], jnp.float32)  # [O,K,3]
+        uv_proj = 1.2 * p_c[..., :2] / p_c[..., 2:3]
+        uv_meas = jnp.tile(uv_proj[None], (V, 1, 1, 1)) + jnp.asarray(
+            rng.normal(0, 0.01, (V, O, K, 2)), jnp.float32)
         prob = ba.BAProblem(
             cam_T=jnp.tile(jnp.eye(4, dtype=jnp.float32), (V, 1, 1)),
-            obj_T=jnp.tile(jnp.eye(4, dtype=jnp.float32), (O, 1, 1)).at[:, 2, 3].set(600.0),
-            uv=jnp.asarray(rng.uniform(-0.8, 0.8, (V, O, K, 2)), jnp.float32),
+            obj_T=obj_T,
+            uv=uv_meas,
             info=jnp.tile(jnp.eye(2, dtype=jnp.float32) * 1e4, (V, O, K, 1, 1)),
             model_kp=x,
             cam_k=jnp.tile(cam_k4[None], (V, 1, 1)),
@@ -128,7 +141,10 @@ def main():
             obj_active=jnp.ones((O,), bool),
         )
 
-        def chain_ba(prob=prob, rounds=rounds, tracking=tracking):
+        n_chain = CHAIN_TINY if tracking else CHAIN
+
+        def chain_ba(prob=prob, rounds=rounds, tracking=tracking,
+                     n_chain=n_chain):
             @jax.jit
             def fn():
                 def body(i, carry):
@@ -137,12 +153,12 @@ def main():
                     p = p._replace(cam_T=res.cam_T, obj_T=res.obj_T)
                     return p, acc + res.total_chi2
 
-                _, acc = jax.lax.fori_loop(0, CHAIN, body, (prob, jnp.float32(0)))
+                _, acc = jax.lax.fori_loop(0, n_chain, body, (prob, jnp.float32(0)))
                 return acc
 
             return fn
 
-        results[tag] = timeit_chained(tag, chain_ba, rtt)
+        results[tag] = timeit_chained(tag, chain_ba, rtt, chain=n_chain)
         if tracking:
             t_track_ba = results[tag]
 
