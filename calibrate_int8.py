@@ -25,7 +25,7 @@ import sys
 import numpy as np
 
 
-def sample_frames(dataset, n_frames, seed=666):
+def sample_frames(dataset, n_frames):
     """Evenly sample (scene, view) pairs across all scenes."""
     pairs = [
         (s, v) for s in dataset.scene_ids() for v in dataset.view_ids(s)

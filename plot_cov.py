@@ -36,17 +36,15 @@ def main():
     import jax.numpy as jnp
 
     from suo_slam_tpu.data.bop import BopDataset, collate
-    from suo_slam_tpu.models import PkpNet
+    from suo_slam_tpu.eval.loading import load_eval_network
     from suo_slam_tpu.ops import heatmap as hm
     from suo_slam_tpu.ops import roi as roi_ops
-    from suo_slam_tpu.train.checkpoint import load_model_only
 
-    tiny = bool(int(os.environ.get("SUO_TINY_NET", "0")))
-    net = PkpNet(norm=args.norm,
-                 **(dict(n_stack=1, n_modules=1, features=16) if tiny else {}))
-    dummy = jnp.zeros((1, 256, 256, 3))
-    template = net.init(jax.random.PRNGKey(0), dummy)
-    variables, _, _ = load_model_only(args.checkpoint_path, template)
+    # shared loader: checkpoint-recorded norm wins over --norm, torch
+    # `.pth.tar` checkpoints convert automatically (same path evaluate.py
+    # and calibrate_int8.py use)
+    net, variables, _ = load_eval_network(
+        args.checkpoint_path, bf16=False, norm=args.norm)
 
     ds = BopDataset(data_root, args.split, bop_dset=args.dataset, no_aug=True,
                     ignore_symmetry=False, kp_config_root=args.kp_config_root,

@@ -87,7 +87,7 @@ def get_args(mode="train", argv_override=None):
         parser.add_argument("--debug_saved_only", action="store_true")
         parser.add_argument("--give_all_prior", action="store_true")
         parser.add_argument("--int8", action="store_true",
-                            help="int8-RESIDENT network inference (+66%% over "
+                            help="int8-RESIDENT network inference (+82%% over "
                                  "bf16 at accuracy parity, BENCHMARKS.md); "
                                  "needs a norm=batch post_stem checkpoint")
         parser.add_argument("--int8_scales", default=None,

@@ -367,12 +367,13 @@ class SparseOptimizer:
             valid[v, o, k] = True
 
         use_huber = any(e._robust_kernel is not None for e in edges)
+        obj_fixed = np.array(
+            [bool(entry._fixed) if binary else False
+             for entry in obj_entries], bool)
+        delta = float(next((e._robust_kernel.delta for e in edges
+                            if e._robust_kernel is not None),
+                           ba_mod.HUBER_DELTA))
         if _native_lm is not None:
-            obj_fixed = np.array(
-                [bool(entry._fixed) if binary else False
-                 for entry in obj_entries], bool)
-            delta = next((e._robust_kernel.delta for e in edges
-                          if e._robust_kernel is not None), 0.0)
             cam_out, obj_out = _native_lm(
                 cam_T[:V], obj_T[:O], cam_frozen[:V], obj_fixed,
                 uv[:V, :O], info[:V, :O], model_kp[:O], cam_k[:V, :O],
@@ -386,6 +387,8 @@ class SparseOptimizer:
                         ov._T = np.asarray(obj_out[o], np.float64)
             return int(n_iters)
 
+        obj_frozen = np.zeros((Oc,), bool)
+        obj_frozen[:O] = obj_fixed
         problem = ba_mod.BAProblem(
             cam_T=jnp.asarray(cam_T),
             obj_T=jnp.asarray(obj_T),
@@ -398,6 +401,7 @@ class SparseOptimizer:
             cam_active=jnp.asarray(cam_active),
             obj_active=jnp.asarray(obj_active),
             cam_frozen=jnp.asarray(cam_frozen),
+            obj_frozen=jnp.asarray(obj_frozen),
         )
         cam_out, obj_out, _lam = ba_mod.lm_run(
             problem,
@@ -405,6 +409,7 @@ class SparseOptimizer:
             use_huber=jnp.asarray(use_huber),
             tracking_only=unary,
             fix_first_cam=False,
+            huber_delta=delta,
         )
         cam_out = np.asarray(cam_out, np.float64)
         obj_out = np.asarray(obj_out, np.float64)

@@ -168,6 +168,18 @@ class BopDataset:
     def rng(self, value):  # tests inject deterministic stubs
         self._tls.rng = value
 
+    def reset_rng(self) -> None:
+        """Restart every per-thread RNG stream from the base seed.
+
+        The held-out validation loop calls this before each epoch so the
+        augmentation/prior draws (e.g. the p=0.5 give-prior coin in
+        `get_raw`) repeat identically and val_err is comparable across
+        epochs — the reference achieves the same by reseeding np.random
+        per val epoch via `worker_init_fn` (`/root/reference/train.py:320`).
+        Only safe between epochs (no concurrent get_raw in flight)."""
+        self._tls = threading.local()
+        self._thread_counter = itertools.count()
+
     def _should_load_bg_images(self) -> bool:
         """`lib/datasets/bop.py:260-261`."""
         return "synt" in self.split or (

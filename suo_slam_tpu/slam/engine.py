@@ -92,7 +92,7 @@ class SlamConfig:
     pnp_hypotheses: int = 64
     reinit_check_views: int = 15
     input_hw: tuple[int, int] = (256, 256)
-    # int8-RESIDENT network inference (`models/int8_forward.py`, +66% over
+    # int8-RESIDENT network inference (`models/int8_forward.py`, +82% over
     # bf16 at trained-weight accuracy parity — BENCHMARKS.md). Requires
     # norm="batch" nets (post_stem or concat prior mode). Activation scales:
     # persisted sidecar (int8_scales_path, from offline calibrate_int8.py)

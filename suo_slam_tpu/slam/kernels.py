@@ -264,6 +264,12 @@ def make_frame_inference(net, variables, input_hw=(256, 256), int8=False,
 
     from ..models import int8_forward as i8
 
+    if int8_scales is None and int8_calib_frames < 1:
+        raise ValueError(
+            "int8 inference needs activation scales: pass int8_scales (a "
+            "persisted sidecar) or int8_calib_frames >= 1 for online "
+            "calibration"
+        )
     apply_i8 = i8.make_int8_apply(net)
     stage_j = jax.jit(stage)
     state = {}

@@ -69,6 +69,9 @@ class BAProblem(NamedTuple):
     # (sliding-window mode; the reference optimizes every view forever,
     # `object_slam.py:737-743` — freezing old cameras bounds global-BA cost
     # on unbounded sequences while their edges still constrain the objects)
+    obj_frozen: jax.Array | None = None  # [O] bool: g2o set_fixed(True) on
+    # an object vertex (the compat shim's migration surface; the engine
+    # itself never freezes objects)
 
 
 class BAResult(NamedTuple):
@@ -371,11 +374,16 @@ def _make_lm_iteration(problem: BAProblem, tracking_only: bool,
 
     Used by both `optimize` (the engine's round schedule) and `lm_run` (the
     g2o-compatible single-run entry) so the two paths can never drift."""
-    V = problem.valid.shape[0]
+    V, O = problem.valid.shape[0], problem.valid.shape[1]
     cam_frozen = (
         problem.cam_frozen
         if problem.cam_frozen is not None
         else jnp.zeros((V,), bool)
+    )
+    obj_frozen = (
+        problem.obj_frozen
+        if problem.obj_frozen is not None
+        else jnp.zeros((O,), bool)
     )
 
     def vertex_masks(inl):
@@ -393,7 +401,7 @@ def _make_lm_iteration(problem: BAProblem, tracking_only: bool,
                 # fix the first active camera as the gauge
                 first = jnp.argmax(cam_in_graph)
                 cam_free = cam_free & (jnp.arange(V) != first)
-            obj_free = obj_in_graph
+            obj_free = obj_in_graph & ~obj_frozen
         return cam_free, obj_free
 
     def robust_cost(chi2, inl, use_huber):
@@ -477,6 +485,7 @@ def lm_run(
     lam0=1e-5,
     tracking_only: bool = False,
     fix_first_cam: bool = False,
+    huber_delta: float = HUBER_DELTA,
 ):
     """g2o `SparseOptimizer.optimize(n)` equivalent: one LM run over the
     problem's CURRENT inlier classification — no chi2 reclassification, no
@@ -492,7 +501,7 @@ def lm_run(
     inl = problem.inliers & problem.valid & act_vo[..., None]
     lm_iteration = _make_lm_iteration(
         problem, tracking_only, fix_first_cam,
-        jnp.asarray(HUBER_DELTA, dtype),
+        jnp.asarray(huber_delta, dtype),
     )
     cam_T, obj_T, lam = _lm_while(
         lm_iteration, problem.cam_T, problem.obj_T, inl,

@@ -72,15 +72,20 @@ class ConcatLoader:
             i -= n
         raise IndexError
 
-    def epoch(self, shuffle=True):
+    def epoch(self, shuffle=True, seed=None):
+        """One epoch of batches. seed: when given, draw this epoch's
+        shuffle/collate randomness from a LOCAL rng(seed) instead of the
+        advancing loader stream — the validation loop passes a fixed seed
+        so epochs are bit-comparable."""
         from suo_slam_tpu.data.bop import collate
 
+        rng = self.rng if seed is None else np.random.default_rng(seed)
         order = np.arange(self.total)
         if shuffle:
-            self.rng.shuffle(order)
+            rng.shuffle(order)
         batches = [
             (order[b * self.batch_size : (b + 1) * self.batch_size],
-             int(self.rng.integers(2**31)))
+             int(rng.integers(2**31)))
             for b in range(len(self))
         ]
         if self.workers == 1:
@@ -250,6 +255,7 @@ def main():
     results_root = os.path.join(os.getcwd(), "results")
     start_epoch = 0
     best_val = float("inf")
+    best_train = float("inf")  # no-val fallback metric, per-run (see below)
     outdir = None
     split_tag = args.data_split
     if not args.no_resume and args.checkpoint_path is None:
@@ -321,9 +327,14 @@ def main():
     if not args.no_val:
         val_datasets = build_val_datasets(args)
         if val_datasets:
+            # workers=1: the in-line loading path keeps the sample ->
+            # RNG-stream mapping deterministic (thread scheduling would
+            # permute it), so with reset_rng() per epoch val_err is exactly
+            # reproducible — the metric must be comparable across epochs
+            # because it drives model_best
             val_loader = ConcatLoader(val_datasets, args.batch_size,
                                       args.truncate_obj, seed=666,
-                                      workers=args.workers)
+                                      workers=1)
             print(f"Validating on {val_loader.total} held-out frames, "
                   f"{len(val_loader)} batches/epoch")
         else:
@@ -372,7 +383,10 @@ def main():
         val_np_batch = None
         if val_loader is not None:
             v_sum, v_n = 0.0, 0
-            for j, np_batch in enumerate(val_loader.epoch(shuffle=False)):
+            for d in val_loader.datasets:
+                d.reset_rng()  # identical prior/augment draws every epoch
+            for j, np_batch in enumerate(
+                    val_loader.epoch(shuffle=False, seed=666)):
                 if args.val_steps and j >= args.val_steps:
                     break
                 if val_np_batch is None:
@@ -389,7 +403,11 @@ def main():
                 print(f"\nEpoch {epoch} val uv_loss: {val_err:.4f}")
 
         # model_best: val-driven after val_start_epoch (reference
-        # `train.py:327-342`); training loss only as a no-val fallback
+        # `train.py:327-342`); training loss only as a no-val fallback.
+        # The fallback tracks its own in-run minimum (`best_train`) — the
+        # persisted best_val stays a VAL metric, so resuming with/without
+        # the test split never compares two different metrics against one
+        # scalar (train total loss vs val uv_loss are on different scales).
         is_best = False
         if val_err is not None:
             if epoch >= args.val_start_epoch and val_err < best_val:
@@ -398,8 +416,8 @@ def main():
                             f"prev_best={best_val}")
                 best_val = val_err
                 is_best = True
-        elif train_loss < best_val:
-            best_val = train_loss
+        elif train_loss < best_train:
+            best_train = train_loss
             is_best = True
         ckpt.save_checkpoint(outdir, state, epoch, args_dict, best_val,
                              is_best=is_best)
