@@ -283,3 +283,36 @@ def test_reference_engine_on_native_g2o_three_way(g2o_lib):
     # reference+native-g2o vs our engine: full three-way closure
     assert_timeline_parity(tl_native, tl_ours)
     assert_state_parity(ref_native, ours)
+
+
+@pytest.mark.slow
+def test_reference_engine_on_native_g2o_with_outliers(g2o_lib):
+    """Outlier scenario through the native backend: the reference engine's
+    chi2/set_level switching around REAL g2o must produce the same
+    per-keypoint inlier sets as the JAX-shim run and our engine."""
+    from suo_slam_tpu.compat import g2o as g2o_compat
+
+    from tests.helpers.native_oracle import make_native_lm
+    from tests.helpers.synthetic_scene import StubMeshDb
+    from tests.test_reference_engine_parity import (
+        assert_state_parity, assert_timeline_parity, build_views,
+        run_ours, run_reference)
+
+    def corrupt(i, obj_ids, uvs, kms, rng):
+        if i == 0:
+            return
+        for j in range(uvs.shape[0]):
+            sel = np.where(kms[j])[0]
+            bad = rng.choice(sel, size=2, replace=False)
+            uvs[j, bad] += 4.0 * rng.choice([-1.0, 1.0], (2, 2))
+
+    views, _ = build_views(n_obj=3, n_views=6, seed=7, corrupt=corrupt)
+    mesh = StubMeshDb(8)
+    g2o_compat.set_native_lm(make_native_lm(g2o_lib))
+    try:
+        tl_native, ref_native = run_reference(views, mesh, global_opt_every=3)
+    finally:
+        g2o_compat.set_native_lm(None)
+    tl_ours, ours = run_ours(views, mesh, global_opt_every=3)
+    assert_timeline_parity(tl_native, tl_ours)
+    assert_state_parity(ref_native, ours, check_inliers=True)
