@@ -48,6 +48,14 @@ def get_args(mode="train", argv_override=None):
     default_split = "primesense" if is_tless else "real+synt"
     if mode == "train":
         parser.add_argument("--workers", "-j", type=int, default=_env_int("SUO_WORKERS", 4))
+        parser.add_argument("--loader", default="thread",
+                            choices=["thread", "process"],
+                            help="Worker tier for the train loader: thread "
+                                 "(prefetch; decode hides behind the device "
+                                 "step) or process (the reference's "
+                                 "num_workers equivalent — scales "
+                                 "decode+augment on real-size frames). "
+                                 "Batches are bit-identical either way.")
         parser.add_argument("--batch_size", "-b", type=int,
                             default=_env_int("SUO_BATCH_SIZE", 16 if is_tless else 2))
         parser.add_argument("--epochs", type=int, default=1000 if is_tless else 30)

@@ -362,6 +362,28 @@ class BopDataset:
         scene_id, view_id, obj_id = self.object_index[index]
         return self.get_raw(scene_id, view_id, [obj_id])
 
+    def sample_seeded(self, index, seed):
+        """`self[index]` with the calling thread's RNG pinned to `seed`
+        first: the sample's augmentation/prior draws depend only on
+        (index, seed) — not on which loader thread/process picks it up.
+        The loader derives per-item seeds from its epoch stream, making
+        batches bit-identical across worker modes and counts."""
+        self.rng = np.random.default_rng(seed)
+        return self[index]
+
+    def __getstate__(self):
+        # process-pool loader workers receive the dataset by pickle;
+        # thread-locals are per-process state and are recreated lazily
+        state = self.__dict__.copy()
+        state.pop("_tls", None)
+        state.pop("_thread_counter", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._tls = threading.local()
+        self._thread_counter = itertools.count()
+
     def get_all_obj(self, scene_id, view_id):
         return self.get_raw(scene_id, view_id, self.obj_ids(scene_id, view_id))
 

@@ -185,3 +185,36 @@ def test_map_by_obj_training_iteration(bop_root):
     # all three synthetic objects appear across per-object samples
     ids = {int(ds[i]["obj_ids"][0]) for i in range(len(ds))}
     assert ids == {1, 2, 3}
+
+
+@pytest.mark.slow
+def test_loader_modes_bit_identical(tmp_path):
+    """Per-item seeding makes batches independent of the worker tier:
+    inline (workers=1), threaded, and process-pool loaders must produce
+    bit-identical epochs for the same seed."""
+    import train as train_mod
+
+    from tests.helpers.synthetic_bop import write_synthetic_bop
+
+    root = write_synthetic_bop(str(tmp_path / "bop"), n_scenes=1, n_views=8)
+    from suo_slam_tpu.data.bop import BopDataset
+
+    def batches(workers, mode):
+        ds = BopDataset(root, "train_synt", bop_dset="ycbv",
+                        kp_config_root=os.path.join(root, "kp_configs"),
+                        seed=0)
+        loader = train_mod.ConcatLoader([ds], batch_size=2, truncate_obj=8,
+                                        seed=5, workers=workers, mode=mode)
+        try:
+            return list(loader.epoch(shuffle=True, seed=11))
+        finally:
+            loader.close()
+
+    ref = batches(1, "thread")
+    thr = batches(4, "thread")
+    proc = batches(2, "process")
+    assert len(ref) == len(thr) == len(proc) > 0
+    for a, b, c in zip(ref, thr, proc):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=f"thread {k}")
+            np.testing.assert_array_equal(a[k], c[k], err_msg=f"process {k}")
