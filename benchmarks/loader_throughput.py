@@ -50,7 +50,7 @@ def main():
         ds[i]
     print(f"plain __getitem__: {n / (time.perf_counter() - t0):.1f} frames/s")
 
-    import train as train_mod
+    from suo_slam_tpu.data import loader as train_mod
 
     loader = train_mod.ConcatLoader([ds], batch_size=4, truncate_obj=16,
                                     workers=args.workers, prefetch=4, seed=0)

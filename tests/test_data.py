@@ -192,7 +192,10 @@ def test_loader_modes_bit_identical(tmp_path):
     """Per-item seeding makes batches independent of the worker tier:
     inline (workers=1), threaded, and process-pool loaders must produce
     bit-identical epochs for the same seed."""
-    import train as train_mod
+    # NOTE: import from the package, not `train` — the reference-oracle
+    # tests put /root/reference on sys.path, whose own train.py shadows
+    # our CLI module within a shared pytest process.
+    from suo_slam_tpu.data.loader import ConcatLoader
 
     from tests.helpers.synthetic_bop import write_synthetic_bop
 
@@ -203,8 +206,8 @@ def test_loader_modes_bit_identical(tmp_path):
         ds = BopDataset(root, "train_synt", bop_dset="ycbv",
                         kp_config_root=os.path.join(root, "kp_configs"),
                         seed=0)
-        loader = train_mod.ConcatLoader([ds], batch_size=2, truncate_obj=8,
-                                        seed=5, workers=workers, mode=mode)
+        loader = ConcatLoader([ds], batch_size=2, truncate_obj=8,
+                              seed=5, workers=workers, mode=mode)
         try:
             return list(loader.epoch(shuffle=True, seed=11))
         finally:
