@@ -11,6 +11,9 @@ activations in HBM, int8 convs on the MXU, per-tensor/per-channel calibrated
 scales. Accuracy at trained weights is validated by
 `benchmarks/int8_accuracy.py` (uv MAE / validity / PnP pose parity vs bf16);
 set SUO_BENCH_PATH=bf16 for the full-precision baseline.
+SUO_BENCH_PRIOR=concat benches the reference-faithful prior-concat
+architecture (what converted reference checkpoints use,
+`lib/models/pkpnet.py:95-101`) instead of the default post_stem injection.
 
 Protocol: `lax.scan` over CHUNKS of 128 distinct crop batches inside one
 jitted program — batch 128 is the measured device sweet spot (7% faster
@@ -22,16 +25,23 @@ the uint8-sourced pixels lose nothing and XLA runs the stem in bf16
 regardless. The SLAM engine's per-frame latency path is measured separately
 in benchmarks/slam_latency.py.
 
+Outage resilience: the TPU here is reached over a tunnel that can be down
+for minutes-to-hours and `jax.devices()` then HANGS rather than erroring.
+Before touching JAX in-process we probe the backend in a subprocess under a
+timeout, retrying with backoff for a bounded window (SUO_BENCH_RETRY_S,
+default 600 s). If the backend never comes up we print a structured
+`{"error": "tpu_unavailable", ...}` JSON line (exit 0) so the driver can
+distinguish "tunnel down" from "code broken" (which still tracebacks, rc=1).
+
 Baseline for `vs_baseline`: the driver north star of 5000 crops/sec/chip
 (BASELINE.json "north_star"; the reference repo publishes no numbers).
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
 
 BASELINE_CROPS_PER_SEC = 5000.0
 # SUO_BENCH_CHUNK overrides the batch per scan step (layout sweeps)
@@ -40,12 +50,91 @@ N_CHUNKS = max(1, 4096 // CHUNK)
 WARMUP = 1
 REPEATS = 3
 
+PROBE_TIMEOUT_S = int(os.environ.get("SUO_BENCH_PROBE_TIMEOUT_S", "90"))
+RETRY_WINDOW_S = float(os.environ.get("SUO_BENCH_RETRY_S", "600"))
+LOCK_PATH = "/tmp/suo_tpu_lock"
 
-def main():
+_PROBE_SRC = (
+    "import jax, json, sys;"
+    "ds = jax.devices();"
+    "print(json.dumps({'platform': ds[0].platform, 'n': len(ds)}))"
+)
+
+
+def probe_backend():
+    """Probe the JAX backend in a subprocess under a hard timeout.
+
+    jax.devices() can hang forever when the TPU tunnel is down, so the probe
+    must be out-of-process. Returns (status, detail) where status is one of
+    'up', 'down', 'hang'.
+    """
+    env = dict(os.environ)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            capture_output=True, text=True, timeout=PROBE_TIMEOUT_S, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return "hang", f"probe exceeded {PROBE_TIMEOUT_S}s (tunnel hang)"
+    if r.returncode == 0:
+        try:
+            info = json.loads(r.stdout.strip().splitlines()[-1])
+        except (ValueError, IndexError):
+            return "down", f"unparseable probe stdout: {r.stdout[-200:]}"
+        if info.get("platform") == "cpu" and not os.environ.get("SUO_BENCH_ALLOW_CPU"):
+            # A silent CPU fallback would report a garbage number as the
+            # round's headline; refuse unless explicitly allowed.
+            return "down", f"only cpu backend available: {info}"
+        return "up", info
+    tail = (r.stderr or "")[-400:]
+    return "down", tail
+
+
+def wait_for_backend():
+    """Retry the probe with backoff inside RETRY_WINDOW_S.
+
+    Returns the final ('up', info) on success or ('down'/'hang', detail,
+    n_probes, waited_s) shaped tuple on exhaustion.
+    """
+    t0 = time.monotonic()
+    backoff = 20.0
+    n = 0
+    while True:
+        n += 1
+        status, detail = probe_backend()
+        waited = time.monotonic() - t0
+        if status == "up":
+            return status, detail, n, waited
+        remaining = RETRY_WINDOW_S - (time.monotonic() - t0)
+        if remaining <= 0:
+            return status, detail, n, waited
+        time.sleep(min(backoff, max(1.0, remaining)))
+        backoff = min(backoff * 2, 180.0)
+
+
+def emit_unavailable(status, detail, n_probes, waited_s):
+    print(json.dumps({
+        "error": "tpu_unavailable",
+        "metric": "pkpnet_inference_throughput",
+        "value": None,
+        "unit": "crops/sec/chip",
+        "vs_baseline": None,
+        "probe_status": status,  # 'down' = init error, 'hang' = tunnel hang
+        "probes": n_probes,
+        "waited_s": round(waited_s, 1),
+        "detail": str(detail)[-300:],
+    }))
+
+
+def run_bench():
+    import jax
+    import jax.numpy as jnp
+
     from suo_slam_tpu.models import PkpNet
 
     path = os.environ.get("SUO_BENCH_PATH", "int8")
-    net = PkpNet(dtype=jnp.bfloat16)
+    prior_mode = os.environ.get("SUO_BENCH_PRIOR", "post_stem")
+    net = PkpNet(dtype=jnp.bfloat16, prior_mode=prior_mode)
     h, w = 256, 256
     rng = jax.random.PRNGKey(0)
     x = jax.random.uniform(rng, (N_CHUNKS, CHUNK, h, w, 3), jnp.bfloat16)
@@ -85,6 +174,42 @@ def main():
         "unit": "crops/sec/chip",
         "vs_baseline": round(crops_per_sec / BASELINE_CROPS_PER_SEC, 3),
     }))
+
+
+def main():
+    # Hold a lock so cooperating probe loops stay off the TPU during the run
+    # (two concurrent TPU processes corrupt timings / fail backend init).
+    status, detail, n, waited = wait_for_backend()
+    if status != "up":
+        emit_unavailable(status, detail, n, waited)
+        return
+    try:
+        with open(LOCK_PATH, "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass
+    try:
+        run_bench()
+    except RuntimeError as e:
+        # Backend dropped between probe and run (tunnel flake): one more
+        # bounded wait, one retry, then the structured marker.
+        if "nable to initialize backend" not in str(e):
+            raise
+        status, detail, n, waited = wait_for_backend()
+        if status != "up":
+            emit_unavailable(status, f"mid-run drop; {detail}", n, waited)
+            return
+        try:
+            run_bench()
+        except RuntimeError as e2:
+            if "nable to initialize backend" not in str(e2):
+                raise
+            emit_unavailable("down", f"retry also dropped: {e2}", n + 1, waited)
+    finally:
+        try:
+            os.remove(LOCK_PATH)
+        except OSError:
+            pass
 
 
 if __name__ == "__main__":

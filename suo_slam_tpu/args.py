@@ -78,8 +78,16 @@ def get_args(mode="train", argv_override=None):
                             help="First epoch eligible for val-driven "
                                  "model_best (reference: 5).")
         parser.add_argument("--no_val", action="store_true",
-                            help="Skip the held-out validation epoch; "
-                                 "model_best falls back to training loss.")
+                            help="Skip the held-out validation epoch entirely "
+                                 "(no per-epoch test-split pass).")
+        parser.add_argument("--val_select_best", action="store_true",
+                            help="Let the test-split val epoch drive "
+                                 "model_best/best.txt. OFF by default: the "
+                                 "val split IS the eval split, so selecting "
+                                 "on it leaks test data (the reference ships "
+                                 "with this block commented out — "
+                                 "`train.py:330-348`, is_best always False). "
+                                 "Default selection uses training loss.")
         parser.add_argument("--use_cache", action="store_true",
                             help="Use the native mmap frame cache + threaded "
                                  "gatherer (packs on first run).")

@@ -358,9 +358,21 @@ class SparseOptimizer:
             obj_active[o] = True
             for k, p in kp_index[o].values():
                 model_kp[o, k] = p
-        # Duplicate (v,o,k) measurements cannot occur: the reference adds one
-        # edge per detected keypoint per (view, object) (`object_slam.py:813`).
+        # Duplicate (v,o,k) assignments SHOULD not occur — the reference adds
+        # one edge per detected keypoint per (view, object)
+        # (`object_slam.py:813`) — but keypoint slots here dedupe by exact
+        # p_inO bytes, so a kp config with byte-identical duplicate model
+        # points would silently collapse two real g2o edges into one. Raise
+        # instead of corrupting the problem.
         for e, (v, o, k) in zip(edges, edge_vok):
+            if valid[v, o, k]:
+                raise ValueError(
+                    f"duplicate keypoint edge for (view={v}, object={o}, "
+                    f"kp_slot={k}): two edges in the same (view, object) "
+                    "share byte-identical model points (duplicate keypoint "
+                    "in the kp config?) — this packed-slot backend cannot "
+                    "represent them as separate edges like native g2o"
+                )
             uv[v, o, k] = e._measurement
             info[v, o, k] = e._information
             cam_k[v, o] = e.cam_k

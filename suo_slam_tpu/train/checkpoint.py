@@ -48,8 +48,13 @@ def find_resume_dir(results_root: str, dataset: str, split: str, ext: str = "") 
 
 
 def save_checkpoint(outdir: str, state, epoch: int, args: dict, best_val: float,
-                    is_best: bool = False):
-    """state: train.harness.TrainState (params + opt_state + step + rng)."""
+                    is_best: bool = False, best_train: float = float("inf")):
+    """state: train.harness.TrainState (params + opt_state + step + rng).
+
+    `best_train` is the no-val fallback selection metric; persisting it keeps
+    is_best meaningful across auto-resume (a fresh-process inf would mark the
+    first post-resume epoch best even when it is worse).
+    """
     payload = {
         "params": state.params,
         "batch_stats": state.batch_stats,
@@ -58,6 +63,7 @@ def save_checkpoint(outdir: str, state, epoch: int, args: dict, best_val: float,
         "rng": np.asarray(state.rng),
         "epoch": np.asarray(epoch),
         "best_val": np.asarray(best_val, np.float64),
+        "best_train": np.asarray(best_train, np.float64),
         "args_json": json.dumps(args),
     }
     data = serialization.to_bytes(payload)
@@ -72,33 +78,42 @@ def save_checkpoint(outdir: str, state, epoch: int, args: dict, best_val: float,
 
 
 def load_checkpoint(path: str, state_template):
-    """Returns (TrainState, epoch, args_dict, best_val).
+    """Returns (TrainState, epoch, args_dict, best_val, best_train).
 
     state_template: a TrainState with the right pytree structure/shapes
-    (from `harness.init_state`).
+    (from `harness.init_state`). Tolerant of checkpoints written before a
+    scalar field existed (restores the per-subtree state dicts instead of
+    requiring an exact top-level key set): `best_train` defaults to inf.
     """
     with open(path, "rb") as f:
         data = f.read()
-    template = {
-        "params": state_template.params,
-        "batch_stats": state_template.batch_stats,
-        "opt_state": state_template.opt_state,
-        "step": np.asarray(state_template.step),
-        "rng": np.asarray(state_template.rng),
-        "epoch": np.asarray(0),
-        "best_val": np.asarray(0.0, np.float64),
-        "args_json": "",
-    }
-    payload = serialization.from_bytes(template, data)
+    payload = serialization.msgpack_restore(data)
     state = state_template._replace(
-        params=payload["params"],
-        batch_stats=payload["batch_stats"],
-        opt_state=payload["opt_state"],
+        params=serialization.from_state_dict(state_template.params, payload["params"]),
+        batch_stats=serialization.from_state_dict(
+            state_template.batch_stats, payload["batch_stats"]
+        ),
+        opt_state=serialization.from_state_dict(
+            state_template.opt_state, payload["opt_state"]
+        ),
         step=jax.numpy.asarray(payload["step"]),
         rng=jax.numpy.asarray(payload["rng"]),
     )
-    args = json.loads(payload["args_json"]) if payload["args_json"] else {}
-    return state, int(payload["epoch"]), args, float(payload["best_val"])
+    args = json.loads(payload.get("args_json", "") or "{}")
+    best_train = float(np.asarray(payload.get("best_train", np.inf)))
+    return (state, int(payload["epoch"]), args, float(payload["best_val"]),
+            best_train)
+
+
+def peek_checkpoint_scalar(path: str, key: str):
+    """A top-level scalar field from a checkpoint (None if absent) without
+    needing a state template — e.g. 'best_val', 'best_train', 'epoch'."""
+    with open(path, "rb") as f:
+        data = f.read()
+    payload = serialization.msgpack_restore(data)
+    if key not in payload:
+        return None
+    return float(np.asarray(payload[key]))
 
 
 def peek_checkpoint_args(path: str) -> dict:

@@ -101,10 +101,11 @@ def test_evaluate_slam_mode_gt_kp(bop_layout, tmp_path):
 
 
 def test_train_val_best_then_int8_eval(bop_layout, tmp_path):
-    """Default-flags story: train (norm=batch default) with the held-out
-    validation epoch driving model_best/best.txt/viz_best, calibrate int8
-    scales offline into the checkpoint sidecar, then run
-    `evaluate.py --int8` which auto-detects it."""
+    """Opt-in val-selection story: train (norm=batch default) with the
+    held-out validation epoch driving model_best/best.txt/viz_best (via
+    --val_select_best — off by default since the val split is the eval
+    split), calibrate int8 scales offline into the checkpoint sidecar, then
+    run `evaluate.py --int8` which auto-detects it."""
     kp_root = os.path.join(bop_layout, "kp_configs")
     cmd = [
         sys.executable, os.path.join(REPO, "train.py"),
@@ -113,6 +114,7 @@ def test_train_val_best_then_int8_eval(bop_layout, tmp_path):
         "--data_split", "synt", "--batch_size", "2", "--truncate_obj", "3",
         "--epochs", "2", "--steps_per_epoch", "2", "--no_bf16",
         "--val_steps", "2", "--val_start_epoch", "0", "--no_resume",
+        "--val_select_best",
     ]
     env = {"SUO_TINY_NET": "1"}
     res = _run(cmd, cwd=str(tmp_path), extra_env=env)
@@ -147,7 +149,13 @@ def test_train_val_best_then_int8_eval(bop_layout, tmp_path):
 
 
 def test_train_smoke_and_resume(bop_layout, tmp_path):
-    """2-epoch tiny training run, then auto-resume for 1 more epoch."""
+    """2-epoch tiny training run, then auto-resume for 1 more epoch.
+
+    Also covers the two resume-correctness fixes: (a) the no-val fallback
+    selection metric (best_train) persists in the checkpoint, so the first
+    post-resume epoch is NOT automatically marked best against a fresh inf;
+    (b) default selection is train-loss driven — no best.txt (a val-split
+    artifact) is ever written without --val_select_best."""
     cmd = [
         sys.executable, os.path.join(REPO, "train.py"),
         "--dataset", "ycbv", "--data_root", bop_layout,
@@ -160,8 +168,40 @@ def test_train_smoke_and_resume(bop_layout, tmp_path):
     assert "Epoch 1 done" in res.stdout
     ckpts = list(tmp_path.rglob("checkpoint-latest"))
     assert ckpts
+    # default selection: model_best exists (train-loss driven), best.txt
+    # (val-selection artifact) does not
+    assert list(tmp_path.rglob("model_best"))
+    assert not list(tmp_path.rglob("best.txt"))
+    # best_train persisted in the checkpoint
+    from suo_slam_tpu.train import checkpoint as ckpt_mod
+
+    best_train_saved = ckpt_mod.peek_checkpoint_scalar(str(ckpts[0]), "best_train")
+    assert best_train_saved is not None and best_train_saved < float("inf")
     # resume picks up from epoch 2
     cmd[cmd.index("--epochs") + 1] = "3"
     res2 = _run(cmd, cwd=str(tmp_path), extra_env=env)
     assert "Auto-resuming" in res2.stdout
     assert "Epoch 2 done" in res2.stdout and "Epoch 1 done" not in res2.stdout
+
+
+def test_train_resume_overrides_arch_flags(bop_layout, tmp_path):
+    """Auto-resume must rebuild the net with the checkpoint's recorded
+    architecture (norm), not the CLI default — a --norm default flip would
+    otherwise make the restore fail against the wrong parameter template."""
+    kp_root = os.path.join(bop_layout, "kp_configs")
+    base = [
+        sys.executable, os.path.join(REPO, "train.py"),
+        "--dataset", "ycbv", "--data_root", bop_layout,
+        "--kp_config_root", kp_root,
+        "--data_split", "synt", "--batch_size", "2", "--truncate_obj", "3",
+        "--epochs", "1", "--steps_per_epoch", "1", "--no_bf16",
+    ]
+    env = {"SUO_TINY_NET": "1"}
+    _run(base + ["--norm", "group"], cwd=str(tmp_path), extra_env=env)
+    # resume WITHOUT --norm (default batch): must pick up group from the ckpt
+    res = _run(base[: base.index("--epochs")] + ["--epochs", "2",
+               "--steps_per_epoch", "1", "--no_bf16"],
+               cwd=str(tmp_path), extra_env=env)
+    assert "overriding --norm=batch with the checkpoint's recorded 'group'" \
+        in res.stdout, res.stdout[-2000:]
+    assert "Epoch 1 done" in res.stdout

@@ -64,8 +64,13 @@ def _build_graph(obj0_fixed=False, outlier=False, huber_delta=None,
                     e.set_robust_kernel(g2o.RobustKernelHuber(huber_delta))
                 opt.add_edge(e)
     if outlier:
-        # one gross outlier on the free camera / object 1
-        e = g2o.EdgeSE3ProjectFromObject(k4, pts[1, 0])
+        # one gross outlier on the free camera / object 1. Uses a DISTINCT
+        # model point: the packed backend raises on two edges sharing the
+        # same (view, object, model-point) slot (see
+        # test_duplicate_kp_edge_rejected) — and the reference never emits
+        # one anyway (an outlier there is a wrong measurement of a keypoint,
+        # not a second edge on it, `object_slam.py:813`).
+        e = g2o.EdgeSE3ProjectFromObject(k4, np.array([17.0, -23.0, 11.0]))
         e.set_vertex(0, objs[1])
         e.set_vertex(1, cams[1])
         e.set_measurement(np.array([0.9, -0.9]))
@@ -118,6 +123,27 @@ def test_huber_delta_is_honored():
     err_robust = run(0.5)
     err_ls = run(1e4)
     assert err_robust < err_ls * 0.5, (err_robust, err_ls)
+
+
+def test_duplicate_kp_edge_rejected():
+    """Two edges in the same (view, object) with byte-identical model points
+    would silently overwrite each other's uv/info in the packed-slot
+    backend (real g2o keeps both edges); the shim must refuse loudly."""
+    opt, objs, cams, _, _ = _build_graph()
+    k4 = np.array([1.2, 1.2, 0.0, 0.0])
+    dup_p = None
+    for e in opt.edges():
+        dup_p = e.p_inO
+        break
+    e = g2o.EdgeSE3ProjectFromObject(k4, dup_p)
+    e.set_vertex(0, objs[0])
+    e.set_vertex(1, cams[0])
+    e.set_measurement(np.array([0.1, 0.2]))
+    e.set_information(np.eye(2))
+    opt.add_edge(e)
+    opt.initialize_optimization(0)
+    with pytest.raises(ValueError, match="duplicate keypoint edge"):
+        opt.optimize(5)
 
 
 def test_int8_calib_frames_zero_rejected():

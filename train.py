@@ -140,6 +140,29 @@ def main():
         print(f"{k}: {v}")
     print("===================================")
 
+    results_root = os.path.join(os.getcwd(), "results")
+    split_tag = args.data_split
+    # Resolve the resume checkpoint BEFORE building the net, and let the
+    # checkpoint's recorded architecture flags win over CLI defaults — the
+    # same precedence eval uses (`eval/loading.py`). Otherwise a default
+    # flip (e.g. --norm batch) makes auto-resume of an older group-norm run
+    # build the wrong parameter template and fail restore.
+    resume_path = None
+    if args.checkpoint_path:
+        resume_path = args.checkpoint_path
+    elif not args.no_resume:
+        resume_dir = ckpt.find_resume_dir(results_root, args.dataset, split_tag, args.ext)
+        if resume_dir is not None:
+            resume_path = os.path.join(resume_dir, "checkpoint-latest")
+    if resume_path is not None:
+        trained = ckpt.peek_checkpoint_args(resume_path)
+        for arch_flag in ("norm", "no_network_cov"):
+            if arch_flag in trained and trained[arch_flag] != getattr(args, arch_flag):
+                print(f"Resume: overriding --{arch_flag}="
+                      f"{getattr(args, arch_flag)} with the checkpoint's "
+                      f"recorded {trained[arch_flag]!r}")
+                setattr(args, arch_flag, trained[arch_flag])
+
     tiny = bool(int(os.environ.get("SUO_TINY_NET", "0")))  # smoke tests
     net = PkpNet(
         calc_cov=not args.no_network_cov, norm=args.norm,
@@ -149,25 +172,17 @@ def main():
     optimizer = harness.make_optimizer(args.lr)
     state = harness.init_state(net, jax.random.PRNGKey(0), optimizer)
 
-    results_root = os.path.join(os.getcwd(), "results")
     start_epoch = 0
     best_val = float("inf")
-    best_train = float("inf")  # no-val fallback metric, per-run (see below)
+    best_train = float("inf")  # no-val fallback metric (persisted, see below)
     outdir = None
-    split_tag = args.data_split
-    if not args.no_resume and args.checkpoint_path is None:
-        resume_dir = ckpt.find_resume_dir(results_root, args.dataset, split_tag, args.ext)
-        if resume_dir is not None:
-            path = os.path.join(resume_dir, "checkpoint-latest")
-            print(f"Auto-resuming from {path}")
-            state, start_epoch, _, best_val = ckpt.load_checkpoint(path, state)
-            start_epoch += 1
-            outdir = resume_dir
-    if args.checkpoint_path:
-        print(f"Resuming from {args.checkpoint_path}")
-        state, start_epoch, _, best_val = ckpt.load_checkpoint(args.checkpoint_path, state)
+    if resume_path is not None:
+        print(f"{'Resuming' if args.checkpoint_path else 'Auto-resuming'} "
+              f"from {resume_path}")
+        state, start_epoch, _, best_val, best_train = ckpt.load_checkpoint(
+            resume_path, state)
         start_epoch += 1
-        outdir = os.path.dirname(args.checkpoint_path)
+        outdir = os.path.dirname(resume_path)
     if args.pretrain:
         from suo_slam_tpu.train.checkpoint import load_model_only
         from suo_slam_tpu.train.harness import model_variables
@@ -219,8 +234,10 @@ def main():
     )
 
     # held-out validation over test-split keyframes (reference
-    # `train.py:309-347`): per-epoch avg uv_loss drives model_best /
-    # best.txt / viz_best after `val_start_epoch`
+    # `train.py:309-325` builds the same loader): per-epoch avg uv_loss is
+    # reported every epoch, and drives model_best / best.txt / viz_best
+    # after `val_start_epoch` only under --val_select_best (see the
+    # selection block below for why that is opt-in)
     val_loader = None
     if not args.no_val:
         val_datasets = build_val_datasets(args)
@@ -300,25 +317,28 @@ def main():
                 val_err = v_sum / v_n
                 print(f"\nEpoch {epoch} val uv_loss: {val_err:.4f}")
 
-        # model_best: val-driven after val_start_epoch (reference
-        # `train.py:327-342`); training loss only as a no-val fallback.
-        # The fallback tracks its own in-run minimum (`best_train`) — the
-        # persisted best_val stays a VAL metric, so resuming with/without
-        # the test split never compares two different metrics against one
-        # scalar (train total loss vs val uv_loss are on different scales).
+        # model_best selection. DEFAULT: training loss. The val epoch above
+        # is reporting-only unless --val_select_best: the val split IS the
+        # eval split (test keyframes), and the reference deliberately ships
+        # with val-driven selection disabled for exactly that reason — its
+        # whole val/is_best block is commented out with "This is the test
+        # set, so we should not use the best network anyways"
+        # (`train.py:330-348`, is_best always False). Both selection metrics
+        # persist in the checkpoint so auto-resume keeps comparing against
+        # the true running minimum (not a fresh inf).
         is_best = False
-        if val_err is not None:
+        if args.val_select_best and val_err is not None:
             if epoch >= args.val_start_epoch and val_err < best_val:
                 with open(os.path.join(outdir, "best.txt"), "w") as f:
                     f.write(f"epoch={epoch}\nval_err={val_err}\n"
                             f"prev_best={best_val}")
                 best_val = val_err
                 is_best = True
-        elif train_loss < best_train:
+        elif not args.val_select_best and train_loss < best_train:
             best_train = train_loss
             is_best = True
         ckpt.save_checkpoint(outdir, state, epoch, args_dict, best_val,
-                             is_best=is_best)
+                             is_best=is_best, best_train=best_train)
         if train_np_batch is not None:
             _dump_epoch_viz(outdir, epoch, net, state, train_np_batch,
                             split="train")
