@@ -126,18 +126,26 @@ class ObjectSlam:
     `optimize`, `collect_results`, `obj_num_inliers`, plus the timing meters.
     """
 
-    def __init__(self, config: SlamConfig, mesh_db=None, net=None, params=None):
+    def __init__(self, config: SlamConfig, mesh_db=None, net=None, params=None,
+                 infer_fn=None):
         """mesh_db: `data.mesh.MeshDb` (or None for pure-GT debug runs).
 
         net/params: a `models.PkpNet` and its params. Required unless
         `config.debug_gt_kp`.
+
+        infer_fn: optional custom frame-inference callable with the
+        `kernels.make_frame_inference` signature
+        `(img, boxes, obj_valid, prior_uv, prior_valid) -> (uv, cov,
+        mask_prob)`; overrides net/params. Used to serve pre-compiled /
+        externally-quantized executors and by the closed-loop network-path
+        parity harness (tests/test_reference_network_parity.py).
         """
         self.cfg = config
         self.mesh_db = mesh_db
         self.net = net
         self.params = params
-        self._infer = None
-        if net is not None and params is not None:
+        self._infer = infer_fn
+        if infer_fn is None and net is not None and params is not None:
             int8_scales = None
             if config.int8_inference and config.int8_scales_path:
                 from ..models import int8_forward as i8
