@@ -3,13 +3,14 @@
 # scripts/eval_all_tless.sh): single-view + SLAM + ablations, VSD scoring.
 set -e
 
+REPO_DIR=$(cd "$(dirname "$0")/.." && pwd)
 CKPT=${1:-results/latest/model_best}
 EXTRA=${@:2}
 
 run() {
     echo "=============================================================="
     echo "RUN: $@"
-    python evaluate.py --dataset tless -c "$CKPT" $@ $EXTRA
+    python "$REPO_DIR/evaluate.py" --dataset tless -c "$CKPT" $@ $EXTRA
 }
 
 run --nviews 1

@@ -5,13 +5,14 @@
 # summary.txt files into table.txt.
 set -e
 
+REPO_DIR=$(cd "$(dirname "$0")/.." && pwd)
 CKPT=${1:-results/latest/model_best}
 EXTRA=${@:2}
 
 run() {
     echo "=============================================================="
     echo "RUN: $@"
-    python evaluate.py --dataset ycbv -c "$CKPT" $@ $EXTRA
+    python "$REPO_DIR/evaluate.py" --dataset ycbv -c "$CKPT" $@ $EXTRA
 }
 
 # single view

@@ -184,6 +184,43 @@ def test_train_smoke_and_resume(bop_layout, tmp_path):
     assert "Epoch 2 done" in res2.stdout and "Epoch 1 done" not in res2.stdout
 
 
+def test_eval_all_ycbv_sweep_script(bop_layout, tmp_path):
+    """Drive the ACTUAL shipped shell sweep (`scripts/eval_all_ycbv.sh` —
+    rebuild of the reference 5-method sweep,
+    `/root/reference/scripts/eval_all_ycbv.sh:21-51`) end-to-end against the
+    synthetic fixture: single-view, SLAM, no-prior, no-cov, gt-cam-pose,
+    then the table.txt aggregation. Catches script-level breakage (arg
+    plumbing, outdir globs, aggregation) that driving evaluate.py directly
+    cannot."""
+    kp_root = os.path.join(bop_layout, "kp_configs")
+    env = {"SUO_TINY_NET": "1"}
+    # tiny checkpoint for the sweep to load
+    _run([
+        sys.executable, os.path.join(REPO, "train.py"),
+        "--dataset", "ycbv", "--data_root", bop_layout,
+        "--kp_config_root", kp_root,
+        "--data_split", "synt", "--batch_size", "2", "--truncate_obj", "3",
+        "--epochs", "1", "--steps_per_epoch", "1", "--no_bf16", "--no_val",
+        "--no_resume",
+    ], cwd=str(tmp_path), extra_env=env)
+    ckpt = list(tmp_path.rglob("model_best"))[0]
+
+    res = _run([
+        "bash", os.path.join(REPO, "scripts", "eval_all_ycbv.sh"), str(ckpt),
+        "--data_root", bop_layout, "--kp_config_root", kp_root,
+        "--detection_type", "gt", "--no_viz", "--no_bf16",
+    ], cwd=str(tmp_path), extra_env=env)
+    table = ckpt.parent / "table.txt"
+    assert table.is_file(), res.stdout[-3000:]
+    txt = table.read_text()
+    # one summary section per sweep method, each with the AUC table
+    for tag in ["nviews=1", "nviews=-1-det=gt_ycbv", "NO-PRIOR-DET",
+                "NO-COV", "GT-CAM-POSE"]:
+        assert any(tag in line for line in txt.splitlines()
+                   if line.startswith("====")), (tag, txt[:2000])
+    assert txt.count("AUC of ADD(-S)") == 5, txt.count("AUC of ADD(-S)")
+
+
 def test_train_resume_overrides_arch_flags(bop_layout, tmp_path):
     """Auto-resume must rebuild the net with the checkpoint's recorded
     architecture (norm), not the CLI default — a --norm default flip would

@@ -307,6 +307,76 @@ def test_outlier_classification_parity():
     assert n_rej >= len(corrupted), "outlier machinery never fired"
 
 
+def test_near_degenerate_scene_parity():
+    """Adversarial conditioning probe: one object's keypoints are made
+    near-COPLANAR (z flattened to 2% of its spread) and its plane tilted
+    toward edge-on, so per-object PnP for it is genuinely ill-conditioned
+    and the two engines' independent RANSAC draws can land in different
+    basins. What MUST still agree is the control flow: identical lifecycle
+    timelines (camera recovered / objects initialized / removed at the same
+    views) and camera poses — the camera RANSAC is anchored by the two
+    well-conditioned objects, whose cov-gated chi2 voting should out-vote
+    any flipped hypothesis from the degenerate one.
+
+    MEASURED result (2026-08-18, this fixture): the engines agree to
+    <= 0.01 deg / <1e-3 units on EVERY pose including the degenerate
+    object — the global BA re-anchors object 2 through the two
+    well-conditioned ones, so even when per-frame PnP basins could differ,
+    both sides land in the same optimum. The asserted tolerances are
+    deliberately looser than that measurement (cameras/clean objects
+    2 deg / 10 units; degenerate object 25 deg / 60 units = shared
+    orientation basin only) because the sub-0.01-deg agreement is
+    convergence, not contract: a RANSAC basin flip before the final BA
+    would be legitimate behavior, and this test must stay diagnostic
+    (control-flow parity) rather than flaky. Exact inlier parity is NOT
+    asserted — near the chi2 boundary an ill-conditioned pose legitimately
+    flips individual classifications."""
+    views, (K, hw, kp, T_obj, cams) = build_views(
+        n_obj=3, n_views=6, seed=11, noise=0.004, corrupt=None,
+    )
+    # flatten object 2's kps onto a plane and tilt it near edge-on, then
+    # re-project all views against the modified geometry
+    kp[2] = kp[2].copy()
+    kp[2][:, 2] *= 0.02
+    T_obj[2] = T_obj[2].copy()
+    T_obj[2][:3, :3] = T_obj[2][:3, :3] @ _euler_R_local(np.deg2rad(75.0))
+    rng = np.random.default_rng(4321)
+    views = []
+    for i, T_GtoC in enumerate(cams):
+        obj_ids, bboxes, mks, mms, kms, uvs = project_frame(K, hw, kp, T_obj, T_GtoC)
+        uvs = (uvs + rng.normal(0, 0.004, uvs.shape) * kms[..., None]).astype(
+            np.float32
+        )
+        views.append((i, K, obj_ids, bboxes, mks, mms, kms, uvs))
+    mesh = StubMeshDb(8)
+    tl_ref, ref = run_reference(views, mesh, global_opt_every=3)
+    tl_ours, ours = run_ours(views, mesh, global_opt_every=3)
+
+    assert_timeline_parity(tl_ref, tl_ours)
+    assert set(ref["cam_T"]) == set(ours["cam_T"])
+    assert set(ref["obj_T"]) == set(ours["obj_T"])
+    for v in ref["cam_T"]:
+        assert_pose_agree(ref["cam_T"][v], ours["cam_T"][v], f"cam view {v}",
+                          rot_tol=2.0, t_tol=10.0)
+    for o in ref["obj_T"]:
+        if o == 2:
+            assert_pose_agree(ref["obj_T"][o], ours["obj_T"][o],
+                              "degenerate obj 2", rot_tol=25.0, t_tol=60.0)
+        else:
+            assert_pose_agree(ref["obj_T"][o], ours["obj_T"][o], f"obj {o}",
+                              rot_tol=2.0, t_tol=10.0)
+    # non-vacuity: the fixture really is ill-conditioned — object 2's kp
+    # cloud is ~planar (smallest singular value << others)
+    sv = np.linalg.svd(kp[2] - kp[2].mean(0), compute_uv=False)
+    assert sv[2] < 0.05 * sv[0], sv
+
+
+def _euler_R_local(rx):
+    from suo_slam_tpu.data.bop import _euler2R_np
+
+    return _euler2R_np(np.rad2deg([rx, 0.0, 0.0]))
+
+
 def test_manual_info_deviation_quantified():
     """The ONE intentional behavioral deviation (PARITY.md): with manual
     covariance at realistic sigma, the reference BA weights edges with
