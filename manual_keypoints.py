@@ -11,7 +11,11 @@ Usage:
   ./manual_keypoints.py --dataset ycbv --obj_id 3 [--data_root ...]
   ./manual_keypoints.py --dataset ycbv --viz        # offscreen label viz grid
 
-GUI keys: 0-9/n/p select keypoint channel, u undo last sample, s save, q quit.
+GUI keys: 0-9/n/p select keypoint channel, u undo last sample, v inspect
+(covariance ellipses + view-pose adjustment: w/a/s/d rotate, i/o zoom,
+Enter accept pose, Esc back — reference `manual_keypoints.py:212-326`),
+s save, q quit. The saved view_pose is the one accepted in the inspection
+pane; it canonicalizes symmetric-object GT at train time.
 """
 
 import argparse
@@ -127,6 +131,34 @@ def main():
             name = kp_names[state["kp_idx"]]
             if labeler.samples.get(name):
                 labeler.samples[name].pop()
+            redraw()
+        elif k == ord("v"):
+            # inspection pane: cov-propagated ellipses + view-pose
+            # adjustment (reference `manual_keypoints.py:212-326`)
+            from suo_slam_tpu.tools.labeling import adjust_view_pose
+
+            print("Inspect: w/a/s/d rotate, i/o zoom, Enter accept pose, "
+                  "Esc back")
+            while True:
+                img, ok = labeler.render_inspection()
+                cv2.imshow("Inspect Results", img[..., ::-1])
+                ki = cv2.waitKey(20) & 0xFF
+                if ki == 27:  # Esc
+                    cv2.destroyWindow("Inspect Results")
+                    break
+                elif ki == 13:  # Enter: accept the adjusted view pose
+                    if not ok:
+                        print("ERROR: some sampled keypoints have < 3 "
+                              "samples; add more or undo them.")
+                        continue
+                    print("Accepted view_pose (saved with 's'):\n",
+                          labeler.view_pose)
+                    cv2.destroyWindow("Inspect Results")
+                    break
+                elif 0 <= ki < 128 and chr(ki) in "wasdio":
+                    labeler.view_pose = adjust_view_pose(
+                        labeler.view_pose, chr(ki)
+                    )
             redraw()
         elif k == ord("s"):
             path = os.path.join(

@@ -200,3 +200,142 @@ def test_enable_jit_cache(tmp_path, monkeypatch):
         assert enable_jit_cache() is None
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
+
+
+# ---- inspection pane: covariance propagation + view-pose adjustment -------
+
+
+def test_propagate_cov_2d_matches_finite_diff_and_montecarlo():
+    """The first-order image-space covariance must match (a) the
+    finite-difference Jacobian of the projection and (b) a Monte-Carlo
+    estimate from sampling the 3D covariance. Also pins the DOCUMENTED
+    deviation from the reference formula (`manual_keypoints.py:263-265`
+    repeats 1/z in the second row instead of [0, 1/z, ...]) — the reference
+    expression gives a measurably different (wrong) ellipse."""
+    from suo_slam_tpu.data.bop import _euler2R_np
+    from suo_slam_tpu.tools.labeling import propagate_cov_2d
+
+    rng = np.random.default_rng(0)
+    T = np.eye(4)
+    T[:3, :3] = _euler2R_np([20.0, -35.0, 50.0])
+    T[:3, 3] = [12.0, -7.0, 300.0]
+    mean = np.array([8.0, -5.0, 11.0])
+    A = rng.normal(size=(3, 3))
+    cov3 = A @ A.T * 0.5
+
+    uv, cov2, z = propagate_cov_2d(K, T, mean, cov3)
+    assert z > 0
+
+    def project(p):
+        q = K @ (T[:3, :3] @ p + T[:3, 3])
+        return q[:2] / q[2]
+
+    np.testing.assert_allclose(uv, project(mean), rtol=1e-12)
+
+    # (a) finite-difference Jacobian propagation
+    eps = 1e-5
+    J = np.stack([
+        (project(mean + eps * np.eye(3)[i]) - project(mean - eps * np.eye(3)[i]))
+        / (2 * eps)
+        for i in range(3)
+    ], axis=1)
+    np.testing.assert_allclose(cov2, J @ cov3 @ J.T, rtol=1e-5)
+
+    # (b) Monte-Carlo
+    pts = rng.multivariate_normal(mean, cov3, size=200000)
+    uvs = np.stack([project(p) for p in pts])
+    mc = np.cov(uvs.T)
+    np.testing.assert_allclose(cov2, mc, rtol=0.08, atol=1e-6)
+
+    # (c) the reference's typo'd Jacobian differs (documented deviation)
+    R, t = T[:3, :3], T[:3, 3]
+    uvz = K @ (R @ mean + t)
+    x, y, zz = uvz
+    duv_ref = np.array([[1 / zz, 0, -x / zz**2], [1 / zz, 0, -y / zz**2]])
+    S_ref = duv_ref @ K @ R
+    cov_ref = S_ref @ cov3 @ S_ref.T
+    assert not np.allclose(cov_ref, cov2, rtol=0.05)
+
+
+def test_cov_ellipse_closed_form():
+    from suo_slam_tpu.tools.labeling import cov_ellipse
+
+    cov = np.diag([4.0, 1.0])
+    (ax0, ax1), ang = cov_ellipse(cov)
+    # eig of a diagonal matrix keeps order: lambda = (4, 1)
+    np.testing.assert_allclose(ax0, 2 * np.sqrt(5.991 * 4.0))
+    np.testing.assert_allclose(ax1, 2 * np.sqrt(5.991 * 1.0))
+    assert ang % 180 == 0.0
+    # rotated cov: angle tracks the principal eigenvector
+    th = np.deg2rad(30)
+    Rm = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    (bx0, bx1), bang = cov_ellipse(Rm @ cov @ Rm.T)
+    np.testing.assert_allclose(sorted([bx0, bx1]), sorted([ax0, ax1]),
+                               rtol=1e-9)
+    assert min(abs(bang - 30), abs(bang + 150), abs(bang - 210)) < 1e-6
+
+
+def test_adjust_view_pose_key_contract():
+    """w/a/s/d/i/o semantics of the reference inspection loop
+    (`manual_keypoints.py:307-326`)."""
+    from suo_slam_tpu.data.bop import _euler2R_np
+    from suo_slam_tpu.tools.labeling import adjust_view_pose
+
+    T0 = np.eye(4)
+    T0[:3, :3] = _euler2R_np([10.0, 20.0, 30.0])
+    T0[2, 3] = 100.0
+    for key, euler in (("w", [-2, 0, 0]), ("s", [2, 0, 0]),
+                       ("a", [0, 2, 0]), ("d", [0, -2, 0])):
+        T = adjust_view_pose(T0, key)
+        np.testing.assert_allclose(T[:3, :3], _euler2R_np(euler) @ T0[:3, :3])
+        np.testing.assert_allclose(T[:3, 3], T0[:3, 3])
+    np.testing.assert_allclose(adjust_view_pose(T0, "i")[2, 3], 98.0)
+    np.testing.assert_allclose(adjust_view_pose(T0, "o")[2, 3], 102.0)
+    # unknown key: unchanged; input never mutated
+    np.testing.assert_array_equal(adjust_view_pose(T0, "x"), T0)
+    np.testing.assert_allclose(T0[2, 3], 100.0)
+
+
+def test_inspection_render_and_user_view_pose_saved(tmp_path):
+    """End-to-end inspection-pane flow: label a keypoint, adjust the view
+    pose, render the pane (ellipse drawn), save — the kp_info must carry the
+    USER-ADJUSTED pose, not view_poses[0] (it canonicalizes symmetric GT at
+    train time, `lib/datasets/bop.py:358-385`)."""
+    from suo_slam_tpu.tools.labeling import (
+        KeypointLabeler,
+        adjust_view_pose,
+        load_kp_info,
+    )
+
+    he = OBJ_HALF_EXTENTS[1]
+    verts = cuboid_corners(*he)
+    lab = KeypointLabeler(verts, CUBOID_TRIS, K, diameter=2 * np.linalg.norm(he))
+    d = lab.depths[0]
+    ys, xs = np.nonzero(d > 0)
+    name = "box_corner_front_tl"
+    for dx in range(4):
+        assert lab.add_sample(name, 0, xs[len(xs) // 2] + dx, ys[len(ys) // 2])
+
+    # not-enough-samples on a second kp blocks acceptance (ok=False)
+    lab.samples.setdefault("box_corner_front_tr", []).append(np.zeros(3))
+    img, ok = lab.render_inspection()
+    assert not ok
+    lab.samples.pop("box_corner_front_tr")
+
+    img, ok = lab.render_inspection()
+    assert ok
+    h, w = lab.hw
+    assert img.shape == (h, 2 * w, 3)
+    # the scaled (right) pane differs from the unscaled (left): the ellipse
+    # was actually drawn
+    assert not np.array_equal(img[:, :w], img[:, w:])
+
+    for key in "wwaai":
+        lab.view_pose = adjust_view_pose(lab.view_pose, key)
+    assert not np.allclose(lab.view_pose, lab.view_poses[0])
+
+    path = os.path.join(tmp_path, "kp_info", "obj_000001_kp_info.json")
+    lab.save(path)
+    _, vp = load_kp_info(path)
+    np.testing.assert_allclose(vp, lab.view_pose)
+    assert not np.allclose(vp, lab.view_poses[0])
