@@ -131,6 +131,11 @@ def run_bench():
     import jax.numpy as jnp
 
     from suo_slam_tpu.models import PkpNet
+    from suo_slam_tpu.utils.jit_cache import enable_jit_cache
+
+    # Warm-start compiles from the persistent cache (the timed region is
+    # post-compile either way; this shrinks the tunnel-exposure window).
+    enable_jit_cache()
 
     path = os.environ.get("SUO_BENCH_PATH", "int8")
     prior_mode = os.environ.get("SUO_BENCH_PRIOR", "post_stem")

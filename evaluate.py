@@ -33,7 +33,8 @@ class Evaluator:
                  gt_cam_pose=False, no_prior_det=False, no_viz=True,
                  debug_saved_only=False, give_all_prior=False,
                  kp_config_root=None, bf16=True, norm="batch", int8=False,
-                 int8_scales=None):
+                 int8_scales=None, ref_manual_info=False, viz_cov=False,
+                 do_viz_extra=False):
         from suo_slam_tpu.data.bop import BopDataset
         from suo_slam_tpu.data.mesh import load_mesh_db
         from suo_slam_tpu.slam import ObjectSlam, SlamConfig
@@ -103,6 +104,7 @@ class Evaluator:
                 bbox_thresh=bbox_thresh,
                 manual_kp_std=manual_kp_std,
                 opt_init_with_outliers=opt_init_with_outliers,
+                ref_manual_info=ref_manual_info,
                 int8_inference=int8,
                 int8_scales_path=scales_path,
             )
@@ -112,6 +114,8 @@ class Evaluator:
         self.debug_gt_kp = debug_gt_kp
         self.gt_cam_pose = gt_cam_pose
         self.no_viz = no_viz
+        self.viz_cov = viz_cov
+        self.do_viz_extra = do_viz_extra
         self.give_all_prior = give_all_prior
         self.no_network_cov = no_network_cov
         self.no_prior_det = no_prior_det
@@ -308,16 +312,20 @@ class Evaluator:
 
     def _write_viz(self, outdir, scene_id, j, view_id, results):
         """3-panel viz image per frame (`evaluate.py:202-229` in the
-        reference)."""
+        reference); per-object figure panels under `--do_viz_extra`
+        (`evaluate.py:222-229`, `lib/object_slam.py:277-308`)."""
         import cv2
 
-        from suo_slam_tpu.eval.viz import make_frame_viz
+        from suo_slam_tpu.eval.viz import make_extra_viz, make_frame_viz
 
         viz_dir = os.path.join(outdir, "viz_images")
         os.makedirs(viz_dir, exist_ok=True)
         eng = self.object_slam
         view_for_viz = eng.view_ids[-1] if eng.view_ids else view_id
         dets = eng.get_view_viz_data(view_for_viz)
+        if not self.viz_cov:
+            # ellipses on the kp panel are opt-in (`object_slam.py:268`)
+            dets = {o: {**d, "cov": None} for o, d in dets.items()}
         poses = {
             o: r["T_OtoC"]
             for o, r in results.get(view_for_viz, {}).get("poses", {}).items()
@@ -329,6 +337,15 @@ class Evaluator:
         cv2.imwrite(
             os.path.join(viz_dir, f"scene_{scene_id}_{j:06d}.png"), viz[..., ::-1]
         )
+        if self.do_viz_extra:
+            extra = make_extra_viz(
+                img, dets, poses, self._last_K, mesh_db=self.mesh_db,
+                viz_cov=self.viz_cov,
+            )
+            extra_dir = os.path.join(viz_dir, f"scene_{scene_id}_{j:06d}")
+            os.makedirs(extra_dir, exist_ok=True)
+            for name, im in extra.items():
+                cv2.imwrite(os.path.join(extra_dir, f"{name}.png"), im[..., ::-1])
 
     def _run_slam(self, scene_id, views_to_proc):
         if self.nviews > 0:
@@ -396,6 +413,8 @@ def main():
         debug_saved_only=args.debug_saved_only, give_all_prior=args.give_all_prior,
         kp_config_root=args.kp_config_root, bf16=args.bf16, norm=args.norm,
         int8=args.int8, int8_scales=args.int8_scales,
+        ref_manual_info=args.ref_manual_info,
+        viz_cov=args.viz_cov, do_viz_extra=args.do_viz_extra,
     ).run()
 
 

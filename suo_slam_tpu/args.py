@@ -102,6 +102,12 @@ def get_args(mode="train", argv_override=None):
         parser.add_argument("--gt_cam_pose", action="store_true")
         parser.add_argument("--debug_saved_only", action="store_true")
         parser.add_argument("--give_all_prior", action="store_true")
+        parser.add_argument("--ref_manual_info", action="store_true",
+                            help="Reference-faithful no-cov BA weighting: "
+                                 "identity edge information in BA "
+                                 "(object_slam.py:825-828) instead of our "
+                                 "default 1/manual_kp_std^2; RANSAC/reinit "
+                                 "keep 1/sigma^2 either way.")
         parser.add_argument("--int8", action="store_true",
                             help="int8-RESIDENT network inference (+82%% over "
                                  "bf16 at accuracy parity, BENCHMARKS.md); "

@@ -165,3 +165,100 @@ def make_frame_viz(
     if priors is not None:
         panels.append(blend_prior(rgb.copy(), priors))
     return np.concatenate(panels, axis=1)
+
+
+def _bbox_ndc_to_px(uv, bbox):
+    """Bbox-NDC keypoints -> full-image pixel coords (y-up NDC convention,
+    `lib/utils/utils.py:416-429`)."""
+    x1, y1, x2, y2 = bbox
+    bw, bh = x2 - x1, y2 - y1
+    return np.stack(
+        [x1 + (uv[..., 0] + 1) * bw / 2.0, y1 + (1 - uv[..., 1]) * bh / 2.0],
+        -1,
+    )
+
+
+def render_prior_px(hw, centers_px, kp_idx, sigma_px=14.0):
+    """Host-side [H, W, num_kp] prior map from pixel centers (viz only).
+
+    Matches the reference's full-resolution prior Gaussians
+    (`lib/utils/utils.py:364-368,398-411`: blur-derived sigma ~14 px,
+    peak-normalized to 1).
+    """
+    h, w = hw
+    out = np.zeros((h, w, kp_config.num_kp()), np.float32)
+    r = int(np.ceil(3.5 * sigma_px))
+    ys, xs = np.mgrid[-r : r + 1, -r : r + 1].astype(np.float32)
+    patch = np.exp(-(xs**2 + ys**2) / (2.0 * sigma_px**2))
+    for (cx, cy), k in zip(np.asarray(centers_px), np.asarray(kp_idx)):
+        cx, cy = int(round(cx)), int(round(cy))
+        if not (-r < cx < w + r and -r < cy < h + r):
+            continue
+        x1, x2 = max(0, cx - r), min(w, cx + r + 1)
+        y1, y2 = max(0, cy - r), min(h, cy + r + 1)
+        out[y1:y2, x1:x2, k] = np.maximum(
+            out[y1:y2, x1:x2, k],
+            patch[y1 - (cy - r) : y2 - (cy - r), x1 - (cx - r) : x2 - (cx - r)],
+        )
+    return out
+
+
+def make_extra_viz(img, detections, poses, K, mesh_db=None, viz_cov=False):
+    """Per-object figure panels (`lib/object_slam.py:277-308`): full-frame
+    'bbox_input' plus, per object, 'viz_obj_<id>_input' (crop + prior
+    blend), 'viz_obj_<id>_output' (crop + keypoints, cov ellipses when
+    viz_cov), and 'viz_obj_<id>_overlay' (model cloud at the estimated
+    pose, K shifted to crop coords). Returns {name: RGB uint8 image}.
+
+    detections: as `make_frame_viz`, optionally with 'prior_uv' [K, 2]
+    bbox-NDC and 'model_mask' [K] (which channels the prior covered).
+    """
+    rgb = _to_u8(img)
+    h, w = rgb.shape[:2]
+    out = {}
+    panel = rgb.copy()
+    for obj_id, det in detections.items():
+        draw_bbox(panel, det["bbox"], obj_id)
+    out["bbox_input"] = panel
+    cols_all = kp_config.kp_colors()
+    for obj_id, det in detections.items():
+        bbox = det["bbox"]
+        x1, y1 = max(0, int(round(bbox[0]))), max(0, int(round(bbox[1])))
+        x2, y2 = min(w, int(round(bbox[2]))), min(h, int(round(bbox[3])))
+        if x2 <= x1 or y2 <= y1:
+            continue
+        crop = rgb[y1:y2, x1:x2]
+        # input: crop, with the prior blend when the object was given one
+        inp = crop.copy()
+        if det.get("prior_uv") is not None:
+            pm = det.get("model_mask")
+            if pm is None:
+                pm = np.ones(det["prior_uv"].shape[0], bool)
+            centers = _bbox_ndc_to_px(det["prior_uv"][pm], bbox)
+            centers -= np.array([x1, y1], np.float32)
+            prior = render_prior_px(crop.shape[:2], centers, np.where(pm)[0])
+            inp = blend_prior(inp, prior)
+        out[f"viz_obj_{obj_id}_input"] = inp
+        # output: keypoints (+ covariance ellipses when viz_cov)
+        outp = crop.copy()
+        m = det.get("kp_mask")
+        if m is None:
+            m = np.ones(det["uv"].shape[0], bool)
+        px = _bbox_ndc_to_px(det["uv"][m], bbox) - np.array([x1, y1], np.float32)
+        cov_px = None
+        if viz_cov and det.get("cov") is not None:
+            bw, bh = bbox[2] - bbox[0], bbox[3] - bbox[1]
+            S = np.diag([bw / 2.0, bh / 2.0])
+            cov_px = S @ det["cov"][m] @ S.T
+        draw_points(outp, px, cols_all[m], cov=cov_px)
+        out[f"viz_obj_{obj_id}_output"] = outp
+        # overlay: CAD cloud at the estimated pose (`object_slam.py:303-308`)
+        T = poses.get(obj_id)
+        if T is not None and mesh_db is not None:
+            Kc = np.asarray(K, np.float64).copy()
+            Kc[0, 2] -= x1
+            Kc[1, 2] -= y1
+            ov = crop.copy()
+            draw_pose_points(ov, Kc, T, np.asarray(mesh_db.points[obj_id]), obj_id)
+            out[f"viz_obj_{obj_id}_overlay"] = ov
+    return out

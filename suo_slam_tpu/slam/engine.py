@@ -81,6 +81,16 @@ class SlamConfig:
     manual_kp_std: float = 0.005
     opt_init_with_outliers: bool = False
     gt_kp_noise_std: float = 0.01  # `object_slam.py:1131`
+    # Reference-faithful no-cov BA weighting: the reference weights no-cov BA
+    # edges with the IDENTITY information (`lib/object_slam.py:825-828`),
+    # which makes the 5.991 chi2 gate vacuous at NDC scale, while its
+    # RANSAC/reinit paths use 1/manual_kp_std^2 (`:1060-1062`). Our default
+    # uses 1/manual_kp_std^2 everywhere (consistent gating; the documented
+    # `manual_info` deviation, PARITY.md). Setting this flag rescales the BA
+    # problem's information back to identity for manual-info runs, exactly
+    # matching the reference's inlier classification on no-cov / debug_gt_kp
+    # runs (RANSAC/reinit keep 1/sigma^2, as the reference does).
+    ref_manual_info: bool = False
     # sliding window: if set, global BA only optimizes the camera poses of
     # the most recent N views (older views stay as fixed constraints on the
     # objects). The reference optimizes every view forever
@@ -202,6 +212,10 @@ class ObjectSlam:
         self.obj_num_dets: dict[int, int] = {}
         self.obj_num_det_kps: dict[int, int] = {}
         self.needs_opt = False
+        # whether this run's stored info matrices are manual (1/sigma^2) or
+        # network-predicted; must be uniform across a run for the
+        # ref_manual_info rescale to be exact (None until first detection)
+        self._manual_info_run: bool | None = None
 
         # device mirrors of the bulk [V, O, ...] measurement buffers (host
         # numpy stays the source of truth for the control logic; the mirrors
@@ -508,6 +522,14 @@ class ObjectSlam:
             info = np.asarray(
                 kernels.manual_info((of, nk), c.manual_kp_std)
             )
+        is_manual = cov_pred is None
+        if self._manual_info_run is None:
+            self._manual_info_run = is_manual
+        elif self._manual_info_run != is_manual:
+            raise ValueError(
+                "mixed manual/network info within one run: the "
+                "ref_manual_info BA rescale assumes a uniform info source"
+            )
 
         # ---- write detection slots ----
         dets = self.detections.setdefault(view_id, {})
@@ -697,6 +719,12 @@ class ObjectSlam:
             for view_id_old in self.view_ids[: -c.max_active_views]:
                 cam_frozen[self.view_slot[view_id_old]] = True
 
+        info_buf = self._dev_buf("info")
+        if self.cfg.ref_manual_info and self._manual_info_run:
+            # reference-faithful no-cov weighting: stored info is I/sigma^2
+            # (what RANSAC/reinit need); the reference BA uses identity
+            # (`object_slam.py:825-828`), so rescale the BA problem only
+            info_buf = info_buf * (self.cfg.manual_kp_std ** 2)
         if curr_only:
             # Tracking optimizes ONE camera over unary edges — slice the
             # problem to just the current view row so its cost and jit shape
@@ -708,7 +736,7 @@ class ObjectSlam:
                 cam_T=jnp.asarray(self.cam_T[v : v + 1]),
                 obj_T=jnp.asarray(self.obj_T),
                 uv=self._dev_buf("uv")[v : v + 1],
-                info=self._dev_buf("info")[v : v + 1],
+                info=info_buf[v : v + 1],
                 model_kp=self._dev_buf("model_kp"),
                 cam_k=self._dev_buf("cam_k4")[v : v + 1],
                 valid=self._dev_buf("valid")[v : v + 1],
@@ -721,7 +749,7 @@ class ObjectSlam:
                 cam_T=jnp.asarray(self.cam_T),
                 obj_T=jnp.asarray(self.obj_T),
                 uv=self._dev_buf("uv"),
-                info=self._dev_buf("info"),
+                info=info_buf,
                 model_kp=self._dev_buf("model_kp"),
                 cam_k=self._dev_buf("cam_k4"),
                 valid=self._dev_buf("valid"),
@@ -841,6 +869,7 @@ class ObjectSlam:
                 "cov": None if self.cfg.no_network_cov or self.cfg.debug_gt_kp else cov,
                 "kp_mask": self.valid[v, s],
                 "prior_uv": det.prior_uv,
+                "model_mask": self.model_mask[s],
             }
         return out
 

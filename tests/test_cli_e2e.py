@@ -52,6 +52,7 @@ def test_evaluate_single_view_gt_kp(bop_layout, tmp_path):
         "--data_root", bop_layout,
         "--kp_config_root", os.path.join(bop_layout, "kp_configs"),
         "--checkpoint_path", "",
+        "--do_viz_extra", "--viz_cov",
     ]
     res = _run(cmd, cwd=str(tmp_path))
     out = res.stdout
@@ -79,6 +80,11 @@ def test_evaluate_single_view_gt_kp(bop_layout, tmp_path):
     # viz images written (3-panel frame visualizations)
     viz = list(tmp_path.rglob("viz_images/*.png"))
     assert viz, out
+    # --do_viz_extra: per-object figure panels in a per-frame subdir
+    # (`evaluate.py:222-229` in the reference)
+    extra = list(tmp_path.rglob("viz_images/scene_*/bbox_input.png"))
+    assert extra, out
+    assert list(extra[0].parent.glob("viz_obj_*_output.png")), out
 
 
 def test_evaluate_slam_mode_gt_kp(bop_layout, tmp_path):

@@ -90,6 +90,62 @@ def test_viz_make_frame(tmp_path):
     assert viz.shape == (120, 320, 3) and viz.dtype == np.uint8
 
 
+def test_viz_make_extra():
+    """`make_extra_viz` parity surface (`lib/object_slam.py:277-308`):
+    full-frame bbox panel + per-object input/output/overlay crops; prior
+    blend visibly changes the input panel; overlay present only for posed
+    objects; cov ellipses only under viz_cov."""
+    from suo_slam_tpu.eval.viz import make_extra_viz
+
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 0.3, (120, 160, 3)).astype(np.float32)
+    nk = 41
+    prior_uv = np.zeros((nk, 2), np.float32)
+    mm = np.arange(nk) < 8
+    dets = {
+        1: {
+            "bbox": np.array([20.0, 20.0, 100.0, 100.0]),
+            "uv": np.zeros((nk, 2), np.float32),
+            "cov": np.tile(np.eye(2, dtype=np.float32) * 0.05, (nk, 1, 1)),
+            "kp_mask": mm.copy(),
+            "prior_uv": prior_uv,
+            "model_mask": mm.copy(),
+        },
+        2: {  # no prior, no pose
+            "bbox": np.array([0.0, 0.0, 40.0, 40.0]),
+            "uv": np.zeros((nk, 2), np.float32),
+            "cov": None,
+            "kp_mask": mm.copy(),
+        },
+    }
+
+    class _Mesh:
+        points = {1: rng.uniform(-0.05, 0.05, (200, 3)).astype(np.float32)}
+
+    T = np.eye(4, dtype=np.float32)
+    T[2, 3] = 0.5
+    out = make_extra_viz(img, dets, {1: T, 2: None}, K, mesh_db=_Mesh(),
+                         viz_cov=True)
+    assert set(out) == {
+        "bbox_input", "viz_obj_1_input", "viz_obj_1_output",
+        "viz_obj_1_overlay", "viz_obj_2_input", "viz_obj_2_output",
+    }
+    assert out["bbox_input"].shape == (120, 160, 3)
+    assert out["viz_obj_1_input"].shape == (80, 80, 3)
+    # the prior blend must actually touch the crop (object 1 has a prior
+    # Gaussian at the bbox center; object 2 has none, so its input is raw)
+    raw1 = (255 * np.clip(img[20:100, 20:100], 0, 1)).astype(np.uint8)
+    raw2 = (255 * np.clip(img[0:40, 0:40], 0, 1)).astype(np.uint8)
+    assert not np.array_equal(out["viz_obj_1_input"], raw1)
+    assert np.array_equal(out["viz_obj_2_input"], raw2)
+    # viz_cov=False must draw no ellipses -> strictly fewer changed pixels
+    out_nocov = make_extra_viz(img, dets, {1: T, 2: None}, K,
+                               mesh_db=_Mesh(), viz_cov=False)
+    d_cov = (out["viz_obj_1_output"] != raw1).any(-1).sum()
+    d_nocov = (out_nocov["viz_obj_1_output"] != raw1).any(-1).sum()
+    assert d_nocov < d_cov
+
+
 def _run(cmd, cwd):
     env = os.environ.copy()
     env["JAX_PLATFORMS"] = "cpu"
