@@ -34,7 +34,7 @@ class Evaluator:
                  debug_saved_only=False, give_all_prior=False,
                  kp_config_root=None, bf16=True, norm="batch", int8=False,
                  int8_scales=None, ref_manual_info=False, viz_cov=False,
-                 do_viz_extra=False):
+                 do_viz_extra=False, show_viz=False):
         from suo_slam_tpu.data.bop import BopDataset
         from suo_slam_tpu.data.mesh import load_mesh_db
         from suo_slam_tpu.slam import ObjectSlam, SlamConfig
@@ -116,6 +116,7 @@ class Evaluator:
         self.no_viz = no_viz
         self.viz_cov = viz_cov
         self.do_viz_extra = do_viz_extra
+        self.show_viz = show_viz
         self.give_all_prior = give_all_prior
         self.no_network_cov = no_network_cov
         self.no_prior_det = no_prior_det
@@ -337,6 +338,20 @@ class Evaluator:
         cv2.imwrite(
             os.path.join(viz_dir, f"scene_{scene_id}_{j:06d}.png"), viz[..., ::-1]
         )
+        if self.show_viz:
+            # live window like the reference (`evaluate.py:215-216`). cv2's
+            # Qt backend ABORTS the process when no display server exists
+            # (not a catchable cv2.error), so gate on one being present.
+            if not (os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")):
+                self.show_viz = False
+                print("[evaluate] --show_viz: no display server; disabled")
+            else:
+                try:
+                    cv2.imshow("ObjectSLAM", viz[..., ::-1])
+                    cv2.waitKey(1)
+                except cv2.error:
+                    self.show_viz = False
+                    print("[evaluate] --show_viz: imshow failed; disabled")
         if self.do_viz_extra:
             extra = make_extra_viz(
                 img, dets, poses, self._last_K, mesh_db=self.mesh_db,
@@ -415,6 +430,7 @@ def main():
         int8=args.int8, int8_scales=args.int8_scales,
         ref_manual_info=args.ref_manual_info,
         viz_cov=args.viz_cov, do_viz_extra=args.do_viz_extra,
+        show_viz=args.show_viz,
     ).run()
 
 
