@@ -126,12 +126,27 @@ def emit_unavailable(status, detail, n_probes, waited_s):
     }))
 
 
+def force_cpu_if_allowed():
+    """Under SUO_BENCH_ALLOW_CPU, actually force the CPU platform.
+
+    The sandbox pre-imports jax on the axon (TPU tunnel) platform via
+    sitecustomize, so the JAX_PLATFORMS env var alone is too late — without
+    this, a 'CPU' smoke run would still try to init the tunnel backend.
+    """
+    if os.environ.get("SUO_BENCH_ALLOW_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
 def run_bench():
     import jax
     import jax.numpy as jnp
 
     from suo_slam_tpu.models import PkpNet
     from suo_slam_tpu.utils.jit_cache import enable_jit_cache
+
+    force_cpu_if_allowed()
 
     # Warm-start compiles from the persistent cache (the timed region is
     # post-compile either way; this shrinks the tunnel-exposure window).
@@ -184,7 +199,11 @@ def run_bench():
 def main():
     # Hold a lock so cooperating probe loops stay off the TPU during the run
     # (two concurrent TPU processes corrupt timings / fail backend init).
-    status, detail, n, waited = wait_for_backend()
+    if os.environ.get("SUO_BENCH_ALLOW_CPU"):
+        # CPU smoke mode: no tunnel involved, probing it would only hang
+        status, detail, n, waited = "up", {"platform": "cpu"}, 0, 0.0
+    else:
+        status, detail, n, waited = wait_for_backend()
     if status != "up":
         emit_unavailable(status, detail, n, waited)
         return

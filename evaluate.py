@@ -332,8 +332,23 @@ class Evaluator:
             for o, r in results.get(view_for_viz, {}).get("poses", {}).items()
         }
         img = self._last_img
+        # full-image prior blend panel like the reference's LEFT panel
+        # (`object_slam.py:263-266`): rasterize each detection's prior kps
+        from suo_slam_tpu.eval.viz import _bbox_ndc_to_px, render_prior_px
+
+        priors = None
+        for o, d in dets.items():
+            if d.get("prior_uv") is None:
+                continue
+            pm = d.get("model_mask")
+            if pm is None:
+                pm = np.ones(d["prior_uv"].shape[0], bool)
+            centers = _bbox_ndc_to_px(d["prior_uv"][pm], d["bbox"])
+            pmap = render_prior_px(img.shape[:2], centers, np.where(pm)[0])
+            priors = pmap if priors is None else np.maximum(priors, pmap)
         viz = make_frame_viz(
-            img, dets, poses, self._last_K, mesh_db=self.mesh_db
+            img, dets, poses, self._last_K, mesh_db=self.mesh_db,
+            priors=priors,
         )
         cv2.imwrite(
             os.path.join(viz_dir, f"scene_{scene_id}_{j:06d}.png"), viz[..., ::-1]

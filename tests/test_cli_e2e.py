@@ -106,6 +106,24 @@ def test_evaluate_slam_mode_gt_kp(bop_layout, tmp_path):
     assert m and float(m.group(1)) == 100.0, out
 
 
+@pytest.mark.slow  # subprocess with its own jax import + compile
+def test_train_throughput_bench_smoke(tmp_path):
+    """benchmarks/train_throughput.py emits one valid JSON line (tiny net,
+    CPU smoke of the script the TPU battery runs unattended)."""
+    env = os.environ.copy()
+    env.update(SUO_TB_TINY="1", SUO_TB_BATCH="1", SUO_TB_OBJ="2",
+               SUO_TB_STEPS="2", SUO_BENCH_ALLOW_CPU="1",
+               PYTHONPATH=REPO)
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks/train_throughput.py")],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    row = json.loads(res.stdout.strip().splitlines()[-1])
+    assert row["metric"] == "train_step_throughput" and row["value"] > 0
+
+
 def test_train_val_best_then_int8_eval(bop_layout, tmp_path):
     """Opt-in val-selection story: train (norm=batch default) with the
     held-out validation epoch driving model_best/best.txt/viz_best (via
