@@ -20,7 +20,7 @@ Overfitting the tiny fixture is intentional: it produces SHARP heatmaps —
 the hardest case for quantized soft-argmax (a flat random-weight heatmap
 hides quantization error; a sharp one amplifies it).
 
-Usage: python benchmarks/int8_accuracy.py [--epochs 40] [--steps-only]
+Usage: python benchmarks/int8_accuracy.py [--epochs 40] [--scenes 6] ...
 Writes a one-line JSON verdict to stdout (and a readable table to stderr).
 """
 
@@ -111,8 +111,16 @@ def main():
         if len(calib_crops) >= 4:
             break
     scales = i8.calibrate(net, variables, calib_crops)
+    # roundtrip through the persisted-sidecar format (calibrate_int8.py's
+    # <checkpoint>/int8_scales.npz contract) so the measured int8 path IS
+    # the sidecar-serving path, not just in-process calibration
+    with tempfile.TemporaryDirectory() as td:
+        sc_path = os.path.join(td, "int8_scales.npz")
+        i8.save_scales(sc_path, scales)
+        scales = i8.load_scales(sc_path)
     log(f"calibrated {len(scales)} quant points on "
-        f"{sum(c.shape[0] for c in calib_crops)} crops")
+        f"{sum(c.shape[0] for c in calib_crops)} crops "
+        "(npz sidecar roundtrip)")
 
     apply_bf16 = jax.jit(lambda v, x: net.apply(v, x))
     apply_int8 = jax.jit(lambda v, s, x: i8.make_int8_apply(net)(v, s, x))
