@@ -719,12 +719,19 @@ class ObjectSlam:
             for view_id_old in self.view_ids[: -c.max_active_views]:
                 cam_frozen[self.view_slot[view_id_old]] = True
 
-        info_buf = self._dev_buf("info")
-        if self.cfg.ref_manual_info and self._manual_info_run:
-            # reference-faithful no-cov weighting: stored info is I/sigma^2
-            # (what RANSAC/reinit need); the reference BA uses identity
-            # (`object_slam.py:825-828`), so rescale the BA problem only
-            info_buf = info_buf * (self.cfg.manual_kp_std ** 2)
+        # reference-faithful no-cov weighting: stored info is I/sigma^2 (what
+        # RANSAC/reinit need); the reference BA uses identity
+        # (`object_slam.py:825-828`), so rescale the BA problem's info only.
+        # Applied AFTER any view slicing to keep tracking O(1) in capacity.
+        info_scale = (
+            self.cfg.manual_kp_std ** 2
+            if (self.cfg.ref_manual_info and self._manual_info_run)
+            else None
+        )
+
+        def _scaled(info):
+            return info if info_scale is None else info * info_scale
+
         if curr_only:
             # Tracking optimizes ONE camera over unary edges — slice the
             # problem to just the current view row so its cost and jit shape
@@ -736,7 +743,7 @@ class ObjectSlam:
                 cam_T=jnp.asarray(self.cam_T[v : v + 1]),
                 obj_T=jnp.asarray(self.obj_T),
                 uv=self._dev_buf("uv")[v : v + 1],
-                info=info_buf[v : v + 1],
+                info=_scaled(self._dev_buf("info")[v : v + 1]),
                 model_kp=self._dev_buf("model_kp"),
                 cam_k=self._dev_buf("cam_k4")[v : v + 1],
                 valid=self._dev_buf("valid")[v : v + 1],
@@ -749,7 +756,7 @@ class ObjectSlam:
                 cam_T=jnp.asarray(self.cam_T),
                 obj_T=jnp.asarray(self.obj_T),
                 uv=self._dev_buf("uv"),
-                info=info_buf,
+                info=_scaled(self._dev_buf("info")),
                 model_kp=self._dev_buf("model_kp"),
                 cam_k=self._dev_buf("cam_k4"),
                 valid=self._dev_buf("valid"),
