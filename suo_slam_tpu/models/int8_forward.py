@@ -400,22 +400,34 @@ def _traverse(eng, variables, images_roi, prior_kp, net):
     if prior_kp is None:
         prior_kp = jnp.zeros((n,) + phw + (num_kp,), jnp.float32)
 
-    # stem conv stays full precision (3- or 44-channel input; the conv's
-    # traffic is small and its input packing is awkward for the MXU).
-    # Measured: computing it in bf16 instead changes nothing (5037 vs 5035
-    # crops/s) — the stem bucket is HBM/fusion-bound, not MXU-bound.
-    x_in = images_roi.astype(jnp.float32)
-    if concat:
-        # reference wiring: prior channels concat at FULL resolution before
-        # the stem (`lib/models/pkpnet.py:95-101`); used by torch-converted
-        # checkpoints. ~2x slower than post_stem but weight-compatible.
-        x_in = jnp.concatenate([x_in, prior_kp.astype(jnp.float32)], axis=-1)
+    # stem conv stays full precision for the IMAGE channels (small traffic,
+    # awkward MXU packing). Measured: computing it in bf16 instead changes
+    # nothing (5037 vs 5035 crops/s) — the stem bucket is HBM/fusion-bound,
+    # not MXU-bound.
+    k0 = p["Conv_0"]["kernel"]
     x = jax.lax.conv_general_dilated(
-        x_in, p["Conv_0"]["kernel"].astype(jnp.float32),
+        images_roi.astype(jnp.float32),
+        (k0[:, :, :3, :] if concat else k0).astype(jnp.float32),
         (2, 2), [(3, 3), (3, 3)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     ) + p["Conv_0"]["bias"]
+    if concat:
+        # reference wiring: prior channels concat at FULL resolution before
+        # the stem (`lib/models/pkpnet.py:95-101`; torch-converted
+        # checkpoints). Computed DECOMPOSED — conv(cat(img, prior), W) ==
+        # conv(img, W[:,:,:3]) + conv(prior, W[:,:,3:]) — with the
+        # 41-channel prior half on the int8 MXU path: the fused 44-channel
+        # f32 stem conv was ~15x the image-stem FLOPs plus a 4 B/elt
+        # full-res prior read; int8 cuts both. Same quantization pattern as
+        # post_stem's Conv_1 prior injection (accuracy bounded by the same
+        # tests/int8_accuracy protocol).
+        prior_act = eng.quant(prior_kp.astype(jnp.float32))
+        x = x + eng.conv_raw(
+            prior_act,
+            {"kernel": k0[:, :, 3:, :], "bias": jnp.zeros((), jnp.float32)},
+            strides=(2, 2), padding=[(3, 3), (3, 3)],
+        ).astype(jnp.float32)
     a0, b0 = _norm_params(p, s, "Norm_0")
     x = jnp.maximum(x * a0 + b0, 0.0)
     # stem output dual-emits Residual_0's normed input (chained boundary);
