@@ -112,6 +112,12 @@ class _CalibEngine:
         self._record(xf, pc)
         return _CalAct(xf, pc)
 
+    def skip_scale(self):
+        # placeholder absmax so a (hypothetical) no-prior calibration still
+        # yields a tuple the with-prior executor can index; real runs always
+        # calibrate WITH a prior (worst-case all-ones, see `calibrate`)
+        self.absmax.append(jnp.ones((), jnp.float32))
+
     def quant_pair(self, xf, aff_a, aff_b, pc=True):
         """Dual-output quantization point: the raw trunk tensor AND the next
         block's pre-normed conv input, from the same virtual f32 value (two
@@ -198,6 +204,12 @@ class _Int8Engine:
         s = jnp.maximum(self.scales[self.i], 1e-6) / 127.0
         self.i += 1
         return s
+
+    def skip_scale(self):
+        """Consume a calibration point whose math is statically absent (the
+        prior quant in a no-prior program) — keeps the point sequence
+        aligned with the with-prior calibration."""
+        self.i += 1
 
     @staticmethod
     def _q(xf, s):
@@ -389,15 +401,22 @@ def _hourglass(eng, p, s, act_x, depth, n_modules, features, pre_norm=None,
     return eng.quant_pair(out, ret_aff[0], ret_aff[1], pc=True)
 
 
-def _traverse(eng, variables, images_roi, prior_kp, net):
-    """Shared calib/int8 traversal; mirrors PkpNet.__call__ module order."""
+def _traverse(eng, variables, images_roi, prior_kp, net, no_prior=False):
+    """Shared calib/int8 traversal; mirrors PkpNet.__call__ module order.
+
+    no_prior=True compiles a program with the prior path STATICALLY absent
+    (render, quantization, and injection conv all gone) while still
+    consuming the prior's calibration point, so the same scales tuple
+    serves both programs. Bit-identical to running the with-prior program
+    on an all-zero prior (zero codes contribute exactly zero through the
+    conv and add)."""
     p = variables["params"]["HourglassNet_0"]
     s = variables["batch_stats"]["HourglassNet_0"]
     n, h, w, _ = images_roi.shape
     num_kp, features, n_modules = net.num_kp, net.features, net.n_modules
     concat = net.prior_mode == "concat"
     phw = (h, w) if concat else (h // 4, w // 4)
-    if prior_kp is None:
+    if prior_kp is None and not no_prior:
         prior_kp = jnp.zeros((n,) + phw + (num_kp,), jnp.float32)
 
     # stem conv stays full precision for the IMAGE channels (small traffic,
@@ -422,12 +441,15 @@ def _traverse(eng, variables, images_roi, prior_kp, net):
         # full-res prior read; int8 cuts both. Same quantization pattern as
         # post_stem's Conv_1 prior injection (accuracy bounded by the same
         # tests/int8_accuracy protocol).
-        prior_act = eng.quant(prior_kp.astype(jnp.float32))
-        x = x + eng.conv_raw(
-            prior_act,
-            {"kernel": k0[:, :, 3:, :], "bias": jnp.zeros((), jnp.float32)},
-            strides=(2, 2), padding=[(3, 3), (3, 3)],
-        ).astype(jnp.float32)
+        if no_prior:
+            eng.skip_scale()
+        else:
+            prior_act = eng.quant(prior_kp.astype(jnp.float32))
+            x = x + eng.conv_raw(
+                prior_act,
+                {"kernel": k0[:, :, 3:, :], "bias": jnp.zeros((), jnp.float32)},
+                strides=(2, 2), padding=[(3, 3), (3, 3)],
+            ).astype(jnp.float32)
     a0, b0 = _norm_params(p, s, "Norm_0")
     x = jnp.maximum(x * a0 + b0, 0.0)
     # stem output dual-emits Residual_0's normed input (chained boundary);
@@ -448,11 +470,13 @@ def _traverse(eng, variables, images_roi, prior_kp, net):
     else:
         act = _residual(eng, p["Residual_2"], s["Residual_2"], act, features,
                         pre_norm=pn)
-        prior_act = eng.quant(prior_kp.astype(jnp.float32))
-        act, pn = eng.quant_pair(
-            eng.dequant(act) + eng.conv_raw(prior_act, p["Conv_1"]),
-            *hg0_aff, pc=True,
-        )
+        if no_prior:
+            eng.skip_scale()
+            inj = eng.dequant(act)
+        else:
+            prior_act = eng.quant(prior_kp.astype(jnp.float32))
+            inj = eng.dequant(act) + eng.conv_raw(prior_act, p["Conv_1"])
+        act, pn = eng.quant_pair(inj, *hg0_aff, pc=True)
         conv_i = 2
 
     norm_i, res_i = 1, 3
@@ -604,11 +628,17 @@ def quantize_weights(net, variables):
     return variables
 
 
-def make_int8_apply(net):
+def make_int8_apply(net, no_prior=False):
     """Returns apply(variables, scales, images_roi, prior) -> PkpNetOutput.
 
     `scales` is the absmax tuple from `calibrate`. The returned callable is
     jit-compatible; activations are int8-resident end to end in the backbone.
+
+    no_prior=True builds the statically-prior-free program (prior render /
+    quant / injection conv all absent; bit-identical outputs to the default
+    program on an all-zero prior) — the SLAM engine uses it for
+    non-symmetric batches and single-view evaluation, which never carry
+    priors. Consumes the SAME scales tuple.
 
     (The Pallas per-block/whole-level kernel variants of this executor were
     removed after losing end to end to this XLA path — see BENCHMARKS.md
@@ -618,7 +648,8 @@ def make_int8_apply(net):
 
     def apply(variables, scales, images_roi, prior_kp=None):
         eng = _Int8Engine(scales)
-        outs = _traverse(eng, variables, images_roi, prior_kp, net)
+        outs = _traverse(eng, variables, images_roi, prior_kp, net,
+                         no_prior=no_prior)
         # every calibration point must be consumed exactly once and in
         # order — catches any scale-sequence drift at trace time rather
         # than as silent mis-scaling (ValueError so `python -O` can't

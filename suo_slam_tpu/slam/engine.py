@@ -480,12 +480,21 @@ class ObjectSlam:
             obj_valid[:of] = True
             bx = _pad0(bboxes, ob)
             bx[of:] = (0.0, 0.0, MIN_PAD_BOX, MIN_PAD_BOX)
+            infer_kw = {}
+            if not prior_valid.any() and getattr(
+                self._infer, "supports_no_prior", False
+            ):
+                # statically prior-free program: every non-symmetric batch
+                # and all of single-view mode — the prior render + injection
+                # conv compile away (see kernels.make_frame_inference)
+                infer_kw["has_prior"] = False
             uv_d, cov_d, maskp_d = self._infer(
                 jnp.asarray(img, jnp.float32),
                 jnp.asarray(bx, jnp.float32),
                 jnp.asarray(obj_valid),
                 jnp.asarray(_pad0(prior_uv, ob)),
                 jnp.asarray(_pad0(prior_valid, ob)),
+                **infer_kw,
             )
             use_cov = not c.no_network_cov and cov_d is not None
             keep = kernels.filter_keypoints(

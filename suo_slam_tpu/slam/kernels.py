@@ -233,8 +233,15 @@ def make_frame_inference(net, variables, input_hw=(256, 256), int8=False,
         updates never recompile.
 
     Returns fn(img [H, W, 3], boxes [O, 4], obj_valid [O], prior_uv [O, K, 2],
-    prior_valid [O, K]) -> (uv [O, K, 2], cov [O, K, 2, 2] | None,
-    mask_prob [O, K]).
+    prior_valid [O, K], has_prior=True) -> (uv [O, K, 2],
+    cov [O, K, 2, 2] | None, mask_prob [O, K]).
+
+    has_prior=False (host-static: the caller knows `prior_valid.any()`
+    without a device sync) dispatches a program with the prior path
+    statically absent — prior render, quantization, and injection conv all
+    compiled away. Every non-symmetric batch and ALL of single-view
+    evaluation take it; outputs are bit-identical to the default program on
+    an all-zero prior. The returned fn advertises `supports_no_prior=True`.
     """
     from ..ops import heatmap as hm
     from ..ops import roi as roi_ops
@@ -243,10 +250,13 @@ def make_frame_inference(net, variables, input_hw=(256, 256), int8=False,
         variables = {"params": variables}
     phw = net.prior_hw(input_hw)
 
-    def stage(img, boxes, obj_valid, prior_uv, prior_valid):
-        crops = roi_ops.roi_crop_batch(
+    def crop_stage(img, boxes, obj_valid):
+        return roi_ops.roi_crop_batch(
             img[None], boxes[None], obj_valid[None], input_hw
         )[0]
+
+    def stage(img, boxes, obj_valid, prior_uv, prior_valid):
+        crops = crop_stage(img, boxes, obj_valid)
         prior = hm.render_prior_heatmaps(
             prior_uv, prior_valid, hw=phw, sigma_px=hm.prior_sigma_for(phw)
         )
@@ -255,11 +265,22 @@ def make_frame_inference(net, variables, input_hw=(256, 256), int8=False,
     if not int8:
 
         @jax.jit
-        def fn(img, boxes, obj_valid, prior_uv, prior_valid):
+        def fn_p(img, boxes, obj_valid, prior_uv, prior_valid):
             crops, prior = stage(img, boxes, obj_valid, prior_uv, prior_valid)
             out = net.apply(variables, crops, prior)
             return out.uv, out.cov, out.kp_mask
 
+        @jax.jit
+        def fn_np(img, boxes, obj_valid):
+            out = net.apply(variables, crop_stage(img, boxes, obj_valid))
+            return out.uv, out.cov, out.kp_mask
+
+        def fn(img, boxes, obj_valid, prior_uv, prior_valid, has_prior=True):
+            if has_prior:
+                return fn_p(img, boxes, obj_valid, prior_uv, prior_valid)
+            return fn_np(img, boxes, obj_valid)
+
+        fn.supports_no_prior = True
         return fn
 
     from ..models import int8_forward as i8
@@ -271,6 +292,7 @@ def make_frame_inference(net, variables, input_hw=(256, 256), int8=False,
             "calibration"
         )
     apply_i8 = i8.make_int8_apply(net)
+    apply_i8_np = i8.make_int8_apply(net, no_prior=True)
     stage_j = jax.jit(stage)
     state = {}
 
@@ -282,11 +304,16 @@ def make_frame_inference(net, variables, input_hw=(256, 256), int8=False,
         out = apply_i8(variables_q, scales, crops, prior)
         return out.uv, out.cov, out.kp_mask
 
+    @jax.jit
+    def run_i8_np(variables_q, scales, img, boxes, obj_valid):
+        out = apply_i8_np(variables_q, scales, crop_stage(img, boxes, obj_valid))
+        return out.uv, out.cov, out.kp_mask
+
     if int8_scales is not None:
         state["scales"] = tuple(jnp.asarray(s) for s in int8_scales)
         state["n_calib"] = int8_calib_frames  # calibration complete
 
-    def fn(img, boxes, obj_valid, prior_uv, prior_valid):
+    def fn(img, boxes, obj_valid, prior_uv, prior_valid, has_prior=True):
         if state.get("n_calib", 0) < int8_calib_frames:
             crops, prior = stage_j(img, boxes, obj_valid, prior_uv, prior_valid)
             # A frame often has no prior detections (frame 1 never does: no
@@ -311,8 +338,11 @@ def make_frame_inference(net, variables, input_hw=(256, 256), int8=False,
             state["n_calib"] = state.get("n_calib", 0) + 1
         if "vq" not in state:
             state["vq"] = i8.quantize_weights(net, variables)
+        if not has_prior:
+            return run_i8_np(state["vq"], state["scales"], img, boxes, obj_valid)
         return run_i8(state["vq"], state["scales"], img, boxes, obj_valid,
                       prior_uv, prior_valid)
 
     fn.int8_state = state  # introspection for tests / scale persistence
+    fn.supports_no_prior = True
     return fn

@@ -204,3 +204,60 @@ def test_loaded_scales_count_mismatch_raises(setup, tmp_path):
     bad = scales[:-2]
     with pytest.raises(ValueError, match="drift"):
         i8.make_int8_apply(net)(v, bad, x[:1], prior[:1])
+
+
+def test_no_prior_program_bit_identical(setup):
+    """The statically-prior-free program (no_prior=True) must be
+    BIT-identical to the default program fed an all-zero prior (zero codes
+    contribute exactly zero through conv and add), for BOTH prior modes,
+    consuming the same scales tuple."""
+    net, v, x, _, _, scales = setup[:6]
+    zero_prior = jnp.zeros((4,) + net.prior_hw((64, 64)) + (41,), jnp.float32)
+    ref0 = i8.make_int8_apply(net)(v, scales, x, zero_prior)
+    out = i8.make_int8_apply(net, no_prior=True)(v, scales, x)
+    np.testing.assert_array_equal(
+        np.asarray(ref0.prob_logits, np.float32),
+        np.asarray(out.prob_logits, np.float32),
+    )
+    np.testing.assert_array_equal(np.asarray(ref0.uv), np.asarray(out.uv))
+    np.testing.assert_array_equal(
+        np.asarray(ref0.kp_mask), np.asarray(out.kp_mask)
+    )
+
+
+def test_no_prior_program_bit_identical_concat():
+    net = PkpNet(prior_mode="concat", **TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    prior = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 64, 41)) * 0.5
+    v = jax.jit(net.init)(jax.random.PRNGKey(1), x[:1])
+    scales = i8.calibrate(net, v, [x], [prior])
+    ref0 = i8.make_int8_apply(net)(v, scales, x, jnp.zeros_like(prior))
+    out = i8.make_int8_apply(net, no_prior=True)(v, scales, x)
+    np.testing.assert_array_equal(
+        np.asarray(ref0.prob_logits, np.float32),
+        np.asarray(out.prob_logits, np.float32),
+    )
+    np.testing.assert_array_equal(np.asarray(ref0.uv), np.asarray(out.uv))
+
+
+def test_frame_inference_no_prior_dispatch():
+    """kernels.make_frame_inference: has_prior=False returns the same
+    results as all-zero priors, for bf16 and int8 tiers."""
+    from suo_slam_tpu.slam import kernels
+
+    net = PkpNet(**TINY)
+    img = jax.random.uniform(jax.random.PRNGKey(0), (96, 128, 3))
+    boxes = jnp.asarray([[8.0, 8.0, 72.0, 72.0], [20.0, 10.0, 90.0, 80.0]])
+    ov = jnp.ones((2,), bool)
+    puv = jnp.zeros((2, 41, 2), jnp.float32)
+    pv = jnp.zeros((2, 41), bool)  # no valid prior -> rendered prior is zero
+    v = jax.jit(net.init)(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 64, 64, 3), jnp.float32))
+    for int8 in (False, True):
+        fn = kernels.make_frame_inference(net, v, (64, 64), int8=int8,
+                                          int8_calib_frames=1)
+        assert fn.supports_no_prior
+        uv_p, _, m_p = fn(img, boxes, ov, puv, pv)
+        uv_np, _, m_np = fn(img, boxes, ov, puv, pv, has_prior=False)
+        np.testing.assert_array_equal(np.asarray(uv_p), np.asarray(uv_np))
+        np.testing.assert_array_equal(np.asarray(m_p), np.asarray(m_np))
