@@ -34,7 +34,8 @@ class Evaluator:
                  debug_saved_only=False, give_all_prior=False,
                  kp_config_root=None, bf16=True, norm="batch", int8=False,
                  int8_scales=None, ref_manual_info=False, viz_cov=False,
-                 do_viz_extra=False, show_viz=False):
+                 do_viz_extra=False, show_viz=False, batched=False,
+                 eval_window=16):
         from suo_slam_tpu.data.bop import BopDataset
         from suo_slam_tpu.data.mesh import load_mesh_db
         from suo_slam_tpu.slam import ObjectSlam, SlamConfig
@@ -64,6 +65,7 @@ class Evaluator:
         self.debug_saved_only = debug_saved_only
         self.model_epoch = -1
         self.object_slam = None
+        self.batched_runner = None
         if not debug_saved_only:
             net = params = None
             if not debug_gt_kp:
@@ -108,7 +110,41 @@ class Evaluator:
                 int8_inference=int8,
                 int8_scales_path=scales_path,
             )
-            self.object_slam = ObjectSlam(cfg, mesh_db=self.mesh_db, net=net, params=params)
+            if batched:
+                # windowed network precompute (eval/batched.py): single-view
+                # sweeps run the network at large-batch throughput; the
+                # engine consumes cached outputs via infer_fn and keeps all
+                # PnP/BA/collection semantics
+                if nviews != 1 or debug_gt_kp or net is None:
+                    raise SystemExit(
+                        "--batched requires --nviews 1 with a real network "
+                        "(no --debug_gt_kp)"
+                    )
+                from suo_slam_tpu.eval.batched import BatchedSingleViewRunner
+                from suo_slam_tpu.slam import kernels as slam_kernels
+
+                batch_scales = None
+                if scales_path:
+                    from suo_slam_tpu.models.int8_forward import load_scales
+
+                    batch_scales = load_scales(scales_path)
+                batch_fn = slam_kernels.make_batch_inference(
+                    net, params, input_hw=cfg.input_hw, int8=int8,
+                    int8_scales=batch_scales,
+                )
+                self.batched_runner = BatchedSingleViewRunner(
+                    batch_fn, self._view_inputs, window=eval_window,
+                    obj_slots=cfg.obj_capacity,
+                    bbox_inflate=cfg.bbox_inflate,
+                )
+                self.object_slam = ObjectSlam(
+                    cfg, mesh_db=self.mesh_db,
+                    infer_fn=self.batched_runner.infer_fn,
+                )
+            else:
+                self.object_slam = ObjectSlam(
+                    cfg, mesh_db=self.mesh_db, net=net, params=params
+                )
         self.nviews = nviews
         self.detection_type = detection_type
         self.debug_gt_kp = debug_gt_kp
@@ -189,6 +225,8 @@ class Evaluator:
         scene_ids = self.dataset.scene_ids()
         for i, scene_id in enumerate(scene_ids):
             view_ids = self.dataset.view_ids(scene_id)
+            if self.batched_runner is not None:
+                self.batched_runner.set_plan(scene_id, view_ids)
             if not self.debug_saved_only and self.nviews < 0:
                 self.object_slam.reset()
             scene_results = []
@@ -377,6 +415,27 @@ class Evaluator:
             for name, im in extra.items():
                 cv2.imwrite(os.path.join(extra_dir, f"{name}.png"), im[..., ::-1])
 
+    def _view_inputs(self, scene_id, view_id):
+        """Per-view detections + sample: (obj_ids [N], bboxes [N, 4],
+        sample) or None when saved detections have nothing usable."""
+        obj_ids_gt = self.dataset.obj_ids(scene_id, view_id)
+        if "gt" in self.detection_type:
+            obj_ids = obj_ids_gt
+        else:
+            sd = self.saved_detections_map.get(scene_id, {}).get(view_id, {})
+            obj_ids = [o for o in sd if o in obj_ids_gt]
+            if not obj_ids:
+                return None
+        sample = self.dataset.get_raw(scene_id, view_id, obj_ids, p_give_prior=0.0)
+        if "gt" in self.detection_type:
+            bboxes = sample["bboxes"]
+        else:
+            sd = self.saved_detections_map[scene_id][view_id]
+            bboxes = np.stack(
+                [self.saved_detections["bboxes"][sd[o]] for o in obj_ids]
+            )
+        return np.asarray(obj_ids, np.int64), np.asarray(bboxes), sample
+
     def _run_slam(self, scene_id, views_to_proc):
         if self.nviews > 0:
             self.object_slam.reset()
@@ -384,24 +443,22 @@ class Evaluator:
             assert len(views_to_proc) == 1
         for view_id_k in views_to_proc:
             view_id_k = int(view_id_k)
-            obj_ids_gt = self.dataset.obj_ids(scene_id, view_id_k)
-            if "gt" in self.detection_type:
-                obj_ids = obj_ids_gt
-            else:
-                sd = self.saved_detections_map.get(scene_id, {}).get(view_id_k, {})
-                obj_ids = [o for o in sd if o in obj_ids_gt]
-                if not obj_ids:
-                    print(f"WARNING no detections for scene {scene_id} view {view_id_k}")
-                    continue
-            sample = self.dataset.get_raw(scene_id, view_id_k, obj_ids, p_give_prior=0.0)
-            self._last_img, self._last_K = sample["img"], sample["K"]
-            if "gt" in self.detection_type:
-                bboxes = sample["bboxes"]
-            else:
-                sd = self.saved_detections_map[scene_id][view_id_k]
-                bboxes = np.stack(
-                    [self.saved_detections["bboxes"][sd[o]] for o in obj_ids]
+            if self.batched_runner is not None:
+                # windowed precompute path: get() runs the network for the
+                # next window on a miss and arms infer_fn for this view
+                ent = self.batched_runner.get(scene_id, view_id_k)
+                inputs = None if ent is None else (
+                    ent["obj_ids"], ent["bboxes"], ent["sample"]
                 )
+            else:
+                inputs = self._view_inputs(scene_id, view_id_k)
+            if inputs is None:
+                print(f"WARNING no detections for scene {scene_id} view {view_id_k}")
+                continue
+            obj_ids, bboxes, sample = inputs
+            obj_ids = np.asarray(obj_ids)
+            bboxes = np.asarray(bboxes, np.float32)
+            self._last_img, self._last_K = sample["img"], sample["K"]
             cam_pose = None
             if self.gt_cam_pose:
                 from suo_slam_tpu.data.bop import _to44_cam
@@ -445,7 +502,8 @@ def main():
         int8=args.int8, int8_scales=args.int8_scales,
         ref_manual_info=args.ref_manual_info,
         viz_cov=args.viz_cov, do_viz_extra=args.do_viz_extra,
-        show_viz=args.show_viz,
+        show_viz=args.show_viz, batched=args.batched,
+        eval_window=args.eval_window,
     ).run()
 
 

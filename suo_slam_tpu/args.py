@@ -108,6 +108,14 @@ def get_args(mode="train", argv_override=None):
                                  "(object_slam.py:825-828) instead of our "
                                  "default 1/manual_kp_std^2; RANSAC/reinit "
                                  "keep 1/sigma^2 either way.")
+        parser.add_argument("--batched", action="store_true",
+                            help="Single-view (--nviews 1) throughput mode: "
+                                 "precompute a window of views' keypoints in "
+                                 "one chunked network call (bench.py-level "
+                                 "throughput); engine PnP/BA semantics "
+                                 "unchanged (eval/batched.py).")
+        parser.add_argument("--eval_window", type=int, default=16,
+                            help="Views per precompute window for --batched.")
         parser.add_argument("--int8", action="store_true",
                             help="int8-RESIDENT network inference (+82%% over "
                                  "bf16 at accuracy parity, BENCHMARKS.md); "

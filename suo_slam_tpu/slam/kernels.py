@@ -346,3 +346,84 @@ def make_frame_inference(net, variables, input_hw=(256, 256), int8=False,
     fn.int8_state = state  # introspection for tests / scale persistence
     fn.supports_no_prior = True
     return fn
+
+
+def make_batch_inference(net, variables, input_hw=(256, 256), int8=False,
+                         int8_scales=None):
+    """Multi-VIEW no-prior network call for the batched single-view
+    evaluator (`evaluate.py --batched`).
+
+    Where `make_frame_inference` serves one frame's object bucket per
+    dispatch (latency path), this packs a WINDOW of views into one jitted
+    program — ROI crop over [G] images + the statically prior-free int8/bf16
+    executor over the flattened [G*O] crop batch — so single-view evaluation
+    runs at the throughput the chip delivers on large batches (bench.py)
+    instead of being bound by per-view dispatch latency. Single-view mode
+    never has priors (`lib/object_slam.py:361-362`), so only the no-prior
+    program exists here.
+
+    Returns fn(imgs [G, H, W, 3], boxes [G, O, 4], valid [G, O]) ->
+    (uv [G, O, K, 2], cov [G, O, K, 2, 2] | None, mask_prob [G, O, K]).
+    With a persisted scales sidecar the per-crop outputs are bit-identical
+    to the engine's per-frame path (same executor, same scales; batch dim
+    does not enter per-sample math). Online fallback: absmax calibration on
+    the FIRST window's crops with the worst-case all-ones prior (same
+    policy as `make_frame_inference`).
+    """
+    from ..models import int8_forward as i8
+    from ..ops import heatmap as hm
+    from ..ops import roi as roi_ops
+
+    if "params" not in variables:
+        variables = {"params": variables}
+    phw = net.prior_hw(input_hw)
+
+    def crop_stage(imgs, boxes, valid):
+        crops = roi_ops.roi_crop_batch(imgs, boxes, valid, input_hw)
+        return crops.reshape((-1,) + crops.shape[2:])  # [G*O, h, w, 3]
+
+    def unflatten(out, g, o):
+        cov = None
+        if out.cov is not None:
+            cov = out.cov.reshape((g, o) + out.cov.shape[1:])
+        return (
+            out.uv.reshape((g, o) + out.uv.shape[1:]),
+            cov,
+            out.kp_mask.reshape((g, o) + out.kp_mask.shape[1:]),
+        )
+
+    if not int8:
+
+        @jax.jit
+        def fn_bf16(imgs, boxes, valid):
+            out = net.apply(variables, crop_stage(imgs, boxes, valid))
+            return unflatten(out, imgs.shape[0], boxes.shape[1])
+
+        return fn_bf16
+
+    apply_np = i8.make_int8_apply(net, no_prior=True)
+    state = {}
+
+    @jax.jit
+    def run(variables_q, scales, imgs, boxes, valid):
+        out = apply_np(variables_q, scales, crop_stage(imgs, boxes, valid))
+        return unflatten(out, imgs.shape[0], boxes.shape[1])
+
+    if int8_scales is not None:
+        state["scales"] = tuple(jnp.asarray(s) for s in int8_scales)
+
+    def fn(imgs, boxes, valid):
+        if "scales" not in state:
+            crops = jax.jit(crop_stage)(imgs, boxes, valid)
+            full_uv = jnp.zeros((crops.shape[0], net.num_kp, 2), jnp.float32)
+            full_prior = hm.render_prior_heatmaps(
+                full_uv, jnp.ones((crops.shape[0], net.num_kp), bool),
+                hw=phw, sigma_px=hm.prior_sigma_for(phw),
+            )
+            state["scales"] = i8.calibrate(net, variables, [crops], [full_prior])
+        if "vq" not in state:
+            state["vq"] = i8.quantize_weights(net, variables)
+        return run(state["vq"], state["scales"], imgs, boxes, valid)
+
+    fn.int8_state = state
+    return fn

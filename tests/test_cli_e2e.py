@@ -167,9 +167,37 @@ def test_train_val_best_then_int8_eval(bop_layout, tmp_path):
         "--kp_config_root", kp_root, "--checkpoint_path", str(best[0]),
         "--int8", "--no_viz", "--detection_type", "gt", "--no_bf16",
     ]
+    def read_csv_rows():
+        # outdir sits next to the checkpoint (model_path), shared by runs
+        csvs = list(tmp_path.rglob("pkpnet-*.csv"))
+        assert len(csvs) == 1, csvs
+        return {
+            tuple(l.split(",")[:3]): l
+            for l in csvs[0].read_text().strip().splitlines()
+        }
+
     res2 = _run(cmd2, cwd=str(tmp_path), extra_env=env)
     assert "int8 scales sidecar" in res2.stdout, res2.stdout[-2000:]
     assert "AUC of ADD(-S)" in res2.stdout, res2.stdout[-2000:]
+    rows_seq = read_csv_rows()
+
+    # --batched (windowed network precompute) must reproduce the sequential
+    # single-view results: same engine semantics, same sidecar scales
+    res3 = _run(cmd2 + ["--batched", "--eval_window", "3"],
+                cwd=str(tmp_path), extra_env=env)
+    assert "AUC of ADD(-S)" in res3.stdout, res3.stdout[-2000:]
+    import re
+
+    auc_seq = float(re.search(r"AUC of ADD\(-S\): ([\d.]+)", res2.stdout).group(1))
+    auc_bat = float(re.search(r"AUC of ADD\(-S\): ([\d.]+)", res3.stdout).group(1))
+    assert abs(auc_seq - auc_bat) < 0.5, (auc_seq, auc_bat)
+    # pose-level parity via the BOP CSVs
+    rows = [rows_seq, read_csv_rows()]
+    assert rows[0].keys() == rows[1].keys()
+    for k in rows[0]:
+        a = np.fromstring(rows[0][k].split(",")[4], sep=" ")
+        b = np.fromstring(rows[1][k].split(",")[4], sep=" ")
+        np.testing.assert_allclose(a, b, atol=5e-2, err_msg=f"R row {k}")
 
 
 def test_train_smoke_and_resume(bop_layout, tmp_path):
