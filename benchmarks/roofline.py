@@ -51,38 +51,51 @@ def parse_xspace(logdir):
         space.ParseFromString(f.read())
 
     # The device plane is the one named like '/device:TPU:0' (the host
-    # python/runtime planes also appear; skip them).
+    # python/runtime planes also appear; skip them). Measure a SINGLE core
+    # plane — mixing timelines from several planes would let summed busy
+    # exceed the single wall span and corrupt the gap.
     dev_planes = [p for p in space.planes if "TPU" in p.name and "device" in p.name.lower()]
     if not dev_planes:
         dev_planes = [p for p in space.planes if "TPU" in p.name]
     if not dev_planes:
         raise RuntimeError(f"no TPU plane; planes = {[p.name for p in space.planes]}")
+    if len(dev_planes) > 1:
+        log(f"note: {len(dev_planes)} TPU planes; measuring {dev_planes[0].name}")
+    plane = dev_planes[0]
 
     per_op = {}
     intervals = []
-    for plane in dev_planes:
-        ev_names = dict(plane.event_metadata)
-        for line in plane.lines:
-            lname = line.name.lower()
-            # XLA op lines carry the per-fusion events; step/module lines
-            # duplicate the same wall span at coarser granularity.
-            if "step" in lname:
-                continue
-            for ev in line.events:
-                md = ev_names.get(ev.metadata_id)
-                name = md.name if md else str(ev.metadata_id)
-                dur_us = ev.duration_ps / 1e6
-                t0_us = (line.timestamp_ns * 1e3 + ev.offset_ps) / 1e6
-                if "module" in lname or "xla modules" in lname:
-                    intervals.append((t0_us, t0_us + dur_us, name))
-                else:
-                    per_op[name] = per_op.get(name, 0.0) + dur_us
+    ev_names = dict(plane.event_metadata)
+    for line in plane.lines:
+        lname = line.name.lower()
+        # XLA op lines carry the per-fusion events; step/module lines
+        # duplicate the same wall span at coarser granularity.
+        if "step" in lname:
+            continue
+        for ev in line.events:
+            md = ev_names.get(ev.metadata_id)
+            name = md.name if md else str(ev.metadata_id)
+            dur_us = ev.duration_ps / 1e6
+            t0_us = (line.timestamp_ns * 1e3 + ev.offset_ps) / 1e6
+            if "module" in lname:
+                intervals.append((t0_us, t0_us + dur_us, name))
+            else:
+                per_op[name] = per_op.get(name, 0.0) + dur_us
     if not intervals:
-        # Fall back: treat op events as the interval set.
         raise RuntimeError("no module-level events found on the device plane")
+    # busy = the UNION of module intervals (overlaps merged), so nested or
+    # back-to-back module events can never inflate busy past span.
     intervals.sort()
-    span_us = intervals[-1][1] - intervals[0][0]
-    busy_us = sum(e - s for s, e, _ in intervals)
+    busy_us = 0.0
+    cur_s, cur_e = intervals[0][0], intervals[0][1]
+    for s, e, _ in intervals[1:]:
+        if s > cur_e:
+            busy_us += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    busy_us += cur_e - cur_s
+    span_us = max(e for _, e, _ in intervals) - intervals[0][0]
     return per_op, busy_us, span_us, len(intervals)
 
 

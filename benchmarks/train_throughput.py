@@ -79,22 +79,7 @@ def run():
 
 
 def main():
-    if os.environ.get("SUO_BENCH_ALLOW_CPU"):
-        status = "up"
-    else:
-        status, detail, n, waited = bench.wait_for_backend()
-        if status != "up":
-            bench.emit_unavailable(status, detail, n, waited)
-            return
-    try:
-        with open(bench.LOCK_PATH, "w") as f:
-            f.write(str(os.getpid()))
-        run()
-    finally:
-        try:
-            os.remove(bench.LOCK_PATH)
-        except OSError:
-            pass
+    bench.guarded_run(run, "train_step_throughput")
 
 
 if __name__ == "__main__":

@@ -153,6 +153,13 @@ class Evaluator:
         self.viz_cov = viz_cov
         self.do_viz_extra = do_viz_extra
         self.show_viz = show_viz
+        if self.show_viz and self.no_viz:
+            # same nesting as the reference (`evaluate.py:202-216`): the live
+            # window is part of the viz block, so --no_viz wins — but say so
+            # instead of silently showing nothing.
+            print("[evaluate] --show_viz has no effect with --no_viz "
+                  "(viz composition is disabled); drop --no_viz for the "
+                  "live window")
         self.give_all_prior = give_all_prior
         self.no_network_cov = no_network_cov
         self.no_prior_det = no_prior_det

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
-MIN_PAD_BOX = 8.0
+from ..slam.engine import MIN_PAD_BOX
 
 
 class BatchedSingleViewRunner:
@@ -147,5 +147,8 @@ class BatchedSingleViewRunner:
             pad(mask),
         )
 
-    # engine probes this attr; cached outputs already honor prior-lessness
-    supports_no_prior = True
+    # The engine probes this attr on the callable it was handed (a bound
+    # method forwards attribute lookups to __func__, NOT to the class, so
+    # it must live on the function). Cached outputs already honor
+    # prior-lessness — single-view mode never feeds priors.
+    infer_fn.supports_no_prior = True

@@ -67,6 +67,15 @@ def save_checkpoint(outdir: str, state, epoch: int, args: dict, best_val: float,
         "args_json": json.dumps(args),
     }
     data = serialization.to_bytes(payload)
+    # Small sidecar with the scalar/args fields so peek_* and resume don't
+    # msgpack-decode the whole payload (params + opt state, order of GB at
+    # flagship scale) just to read provenance.
+    meta = json.dumps({
+        "epoch": int(epoch),
+        "best_val": float(best_val),
+        "best_train": float(best_train),
+        "args": args,
+    })
     os.makedirs(outdir, exist_ok=True)
     for name in [f"checkpoint-{epoch}", "checkpoint-latest"] + (
         ["model_best"] if is_best else []
@@ -75,6 +84,20 @@ def save_checkpoint(outdir: str, state, epoch: int, args: dict, best_val: float,
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, os.path.join(outdir, name))
+        mtmp = os.path.join(outdir, name + ".meta.json.tmp")
+        with open(mtmp, "w") as f:
+            f.write(meta)
+        os.replace(mtmp, os.path.join(outdir, name + ".meta.json"))
+
+
+def _read_meta(path: str) -> dict | None:
+    """The save-time meta sidecar for a checkpoint file, or None when the
+    checkpoint predates sidecars (callers fall back to the full parse)."""
+    try:
+        with open(path + ".meta.json") as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
 
 
 def load_checkpoint(path: str, state_template):
@@ -107,7 +130,11 @@ def load_checkpoint(path: str, state_template):
 
 def peek_checkpoint_scalar(path: str, key: str):
     """A top-level scalar field from a checkpoint (None if absent) without
-    needing a state template — e.g. 'best_val', 'best_train', 'epoch'."""
+    needing a state template — e.g. 'best_val', 'best_train', 'epoch'.
+    Reads the meta sidecar when present; full msgpack parse otherwise."""
+    meta = _read_meta(path)
+    if meta is not None:
+        return float(meta[key]) if key in meta else None
     with open(path, "rb") as f:
         data = f.read()
     payload = serialization.msgpack_restore(data)
@@ -121,8 +148,11 @@ def peek_checkpoint_args(path: str) -> dict:
 
     Lets eval auto-detect architecture choices (e.g. `norm`) recorded at
     train time before constructing the net, so a flag mismatch cannot load
-    a checkpoint into the wrong architecture.
-    """
+    a checkpoint into the wrong architecture. Reads the meta sidecar when
+    present; full msgpack parse otherwise."""
+    meta = _read_meta(path)
+    if meta is not None:
+        return meta.get("args", {}) or {}
     with open(path, "rb") as f:
         data = f.read()
     payload = serialization.msgpack_restore(data)

@@ -49,9 +49,6 @@ def test_batch_inference_matches_frame_path(net_v):
     net, v = net_v
     imgs, boxes, valid = _frame_data(0)
     # one calibration source for both paths
-    crops = jax.jit(
-        lambda im, bx, vd: kernels.roi_ops.roi_crop_batch(im, bx, vd, (64, 64))
-    )(imgs, boxes, valid) if hasattr(kernels, "roi_ops") else None
     from suo_slam_tpu.ops import roi as roi_ops
 
     crops = np.asarray(roi_ops.roi_crop_batch(imgs, boxes, valid, (64, 64)))
