@@ -35,7 +35,7 @@ class Evaluator:
                  kp_config_root=None, bf16=True, norm="batch", int8=False,
                  int8_scales=None, ref_manual_info=False, viz_cov=False,
                  do_viz_extra=False, show_viz=False, batched=False,
-                 eval_window=16):
+                 eval_window=16, pipeline_scenes=0):
         from suo_slam_tpu.data.bop import BopDataset
         from suo_slam_tpu.data.mesh import load_mesh_db
         from suo_slam_tpu.slam import ObjectSlam, SlamConfig
@@ -66,6 +66,7 @@ class Evaluator:
         self.model_epoch = -1
         self.object_slam = None
         self.batched_runner = None
+        self.pipeline_scenes = 0 if debug_saved_only else int(pipeline_scenes)
         if not debug_saved_only:
             net = params = None
             if not debug_gt_kp:
@@ -110,7 +111,28 @@ class Evaluator:
                 int8_inference=int8,
                 int8_scales_path=scales_path,
             )
-            if batched:
+            if self.pipeline_scenes > 1:
+                # scene-pipelined full SLAM (eval/pipeline.py): K scenes in
+                # lockstep, one multi-frame network dispatch per round; each
+                # scene keeps its own engine so all SLAM semantics hold
+                if nviews >= 0 or batched:
+                    raise SystemExit(
+                        "--pipeline_scenes requires --nviews -1 (full SLAM "
+                        "per scene) and is exclusive with --batched"
+                    )
+                if not no_viz:
+                    raise SystemExit(
+                        "--pipeline_scenes is a throughput mode; viz needs "
+                        "the sequential path (drop --pipeline_scenes or "
+                        "keep --no_viz)"
+                    )
+                self._pipe = {
+                    "cfg": cfg, "net": net, "params": params, "int8": int8,
+                    "scales_path": scales_path,
+                }
+                # engines are built per scene inside _run_pipelined
+                self.object_slam = None
+            elif batched:
                 # windowed network precompute (eval/batched.py): single-view
                 # sweeps run the network at large-batch throughput; the
                 # engine consumes cached outputs via infer_fn and keeps all
@@ -230,6 +252,9 @@ class Evaluator:
             print(f"Writing eval results to {outdir}")
 
         scene_ids = self.dataset.scene_ids()
+        if self.pipeline_scenes > 1 and not self.debug_saved_only:
+            num, num_cam_poses_found = self._run_pipelined(scene_ids, csv_lines)
+            scene_ids = []  # the sequential loop below is fully subsumed
         for i, scene_id in enumerate(scene_ids):
             view_ids = self.dataset.view_ids(scene_id)
             if self.batched_runner is not None:
@@ -265,50 +290,20 @@ class Evaluator:
                         self._write_viz(outdir, scene_id, j, view_id, results)
 
                 if self.do_add and self.saved_detections is not None:
-                    for gt_obj_id in gt_obj_ids:
-                        sd = self.saved_detections_map.get(scene_id, {}).get(view_id, {})
-                        if gt_obj_id in sd:
-                            idx = sd[gt_obj_id]
-                            self.saved_det_meter.update(
-                                [gt_obj_id],
-                                [self.saved_detections["poses"][idx]],
-                                [self.dataset.get_obj_pose(scene_id, view_id, gt_obj_id)],
-                            )
-                        else:
-                            self.saved_det_meter.update_no_det([gt_obj_id])
+                    self._update_saved_det_meter(scene_id, view_id, gt_obj_ids)
 
             if self.debug_saved_only:
                 continue
             # score the whole scene with the final optimized state
-            if self.nviews < 0:
-                final_results = self.object_slam.collect_results(final=True)
-            for view_id, pred_poses, gt_obj_ids in scene_results:
-                num += 1
-                if self.nviews < 0:
-                    if view_id not in final_results:
-                        if self.do_add:
-                            for obj_id in gt_obj_ids:
-                                self.meter.update_no_det([obj_id])
-                        continue
-                    num_cam_poses_found += 1
-                    pred_poses = final_results[view_id]["poses"]
-                for obj_id in gt_obj_ids:
-                    r = pred_poses.get(obj_id)
-                    if r is not None and r["T_OtoC"] is not None:
-                        gt_pose = self.dataset.get_obj_pose(scene_id, view_id, obj_id)
-                        if self.do_add:
-                            self.meter.update([obj_id], [r["T_OtoC"]], [gt_pose])
-                        R, t = r["T_OtoC"][:3, :3], r["T_OtoC"][:3, 3]
-                        arr2str = lambda x: " ".join(
-                            str(e) for e in np.asarray(x).reshape(-1).tolist()
-                        )
-                        if self.dataset.is_target(scene_id, view_id, obj_id):
-                            csv_lines.append(
-                                f"{scene_id},{view_id},{obj_id},{r['score']},"
-                                f"{arr2str(R)},{arr2str(t)},-1\n"
-                            )
-                    else:
-                        self.meter.update_no_det([obj_id])
+            final_results = (
+                self.object_slam.collect_results(final=True)
+                if self.nviews < 0 else None
+            )
+            n, nc = self._score_scene(
+                scene_id, scene_results, final_results, csv_lines
+            )
+            num += n
+            num_cam_poses_found += nc
 
         gt_obj_map = YCBV_CLASSES if self.dataset.bop_dset == "ycbv" else TLESS_CLASSES
         gt_obj_map = {
@@ -330,11 +325,11 @@ class Evaluator:
                 if self.do_add:
                     f.write(self.meter.pprint_objs_str(gt_obj_map))
                 if num > 0:
-                    hz = self.object_slam.tracking_hz()
+                    hz = self._tracking_hz()
                     lines = [
                         f"NOTE: {100 * num_cam_poses_found / num:.1f}% of camera poses found!",
                         f"TIMING: Tracking {hz:.2f} Hz",
-                        f"Average keypoint stdev: {self.object_slam.avg_kp_std():.5f}",
+                        f"Average keypoint stdev: {self._avg_kp_std():.5f}",
                     ]
                     for s in lines:
                         print(s)
@@ -355,6 +350,141 @@ class Evaluator:
                 except ImportError:
                     print("VSD eval not available yet")
         return summary
+
+    def _score_scene(self, scene_id, scene_results, final_results, csv_lines):
+        """Score one finished scene (meter updates + BOP CSV lines); returns
+        (n_views_scored, n_cam_poses_found). Shared by the sequential loop
+        and `_run_pipelined` — the pipelined path calls it on the main
+        thread in scene order, so meters/CSV are identical either way."""
+        num = num_cam = 0
+        for view_id, pred_poses, gt_obj_ids in scene_results:
+            num += 1
+            if self.nviews < 0:
+                if view_id not in final_results:
+                    if self.do_add:
+                        for obj_id in gt_obj_ids:
+                            self.meter.update_no_det([obj_id])
+                    continue
+                num_cam += 1
+                pred_poses = final_results[view_id]["poses"]
+            for obj_id in gt_obj_ids:
+                r = pred_poses.get(obj_id)
+                if r is not None and r["T_OtoC"] is not None:
+                    gt_pose = self.dataset.get_obj_pose(scene_id, view_id, obj_id)
+                    if self.do_add:
+                        self.meter.update([obj_id], [r["T_OtoC"]], [gt_pose])
+                    R, t = r["T_OtoC"][:3, :3], r["T_OtoC"][:3, 3]
+                    arr2str = lambda x: " ".join(
+                        str(e) for e in np.asarray(x).reshape(-1).tolist()
+                    )
+                    if self.dataset.is_target(scene_id, view_id, obj_id):
+                        csv_lines.append(
+                            f"{scene_id},{view_id},{obj_id},{r['score']},"
+                            f"{arr2str(R)},{arr2str(t)},-1\n"
+                        )
+                else:
+                    self.meter.update_no_det([obj_id])
+        return num, num_cam
+
+    def _run_pipelined(self, scene_ids, csv_lines):
+        """Scene-pipelined full-SLAM sweep (`--pipeline_scenes K`): K worker
+        threads each drive their own per-scene engine; a BatchingInferServer
+        turns the K concurrent per-frame network calls into one multi-frame
+        dispatch (eval/pipeline.py). Scoring stays on the main thread in
+        scene order, so all artifacts match the sequential path."""
+        from suo_slam_tpu.eval.pipeline import BatchingInferServer, ScenePool
+        from suo_slam_tpu.slam import ObjectSlam
+        from suo_slam_tpu.slam import kernels as slam_kernels
+
+        K = min(self.pipeline_scenes, len(scene_ids))
+        server = None
+        if self._pipe["net"] is not None:
+            scales = None
+            if self._pipe["scales_path"]:
+                from suo_slam_tpu.models.int8_forward import load_scales
+
+                scales = load_scales(self._pipe["scales_path"])
+            multi_fn = slam_kernels.make_multi_frame_inference(
+                self._pipe["net"], self._pipe["params"],
+                input_hw=self._pipe["cfg"].input_hw,
+                int8=self._pipe["int8"], int8_scales=scales,
+            )
+            server = BatchingInferServer(multi_fn, K)
+        print(f"Pipelining {len(scene_ids)} scenes over {K} workers"
+              + (" (batched network dispatch)" if server else ""))
+
+        def run_scene(cid, scene_id):
+            eng = ObjectSlam(
+                self._pipe["cfg"], mesh_db=self.mesh_db,
+                infer_fn=None if server is None else server.client(cid),
+            )
+            scene_results = []
+            for view_id in self.dataset.view_ids(scene_id):
+                view_id = int(view_id)
+                gt_obj_ids = self.dataset.obj_ids(scene_id, view_id)
+                self._feed_view(eng, scene_id, view_id, store_last=False)
+                results = eng.collect_results(last_only=True)
+                if len(results) == 0:
+                    continue
+                scene_results.append((view_id, None, gt_obj_ids))
+            return {
+                "scene_results": scene_results,
+                "final": eng.collect_results(final=True),
+                "track_times": list(eng.track_times),
+                "std_sum": eng.avg_std_sum,
+                "std_n": eng.avg_std_n,
+            }
+
+        results = ScenePool(server, K).run(scene_ids, run_scene)
+
+        num = num_cam = 0
+        self._pipe_stats = {"track_times": [], "std_sum": 0.0, "std_n": 0}
+        for scene_id in scene_ids:
+            if self.do_add and self.saved_detections is not None:
+                for view_id in self.dataset.view_ids(scene_id):
+                    self._update_saved_det_meter(
+                        scene_id, int(view_id),
+                        self.dataset.obj_ids(scene_id, int(view_id)),
+                    )
+            r = results.get(scene_id)
+            if r is None:
+                continue
+            n, nc = self._score_scene(
+                scene_id, r["scene_results"], r["final"], csv_lines
+            )
+            num += n
+            num_cam += nc
+            self._pipe_stats["track_times"].extend(r["track_times"])
+            self._pipe_stats["std_sum"] += r["std_sum"]
+            self._pipe_stats["std_n"] += r["std_n"]
+        return num, num_cam
+
+    def _update_saved_det_meter(self, scene_id, view_id, gt_obj_ids):
+        for gt_obj_id in gt_obj_ids:
+            sd = self.saved_detections_map.get(scene_id, {}).get(view_id, {})
+            if gt_obj_id in sd:
+                idx = sd[gt_obj_id]
+                self.saved_det_meter.update(
+                    [gt_obj_id],
+                    [self.saved_detections["poses"][idx]],
+                    [self.dataset.get_obj_pose(scene_id, view_id, gt_obj_id)],
+                )
+            else:
+                self.saved_det_meter.update_no_det([gt_obj_id])
+
+    def _tracking_hz(self):
+        if self.object_slam is not None:
+            return self.object_slam.tracking_hz()
+        tt = self._pipe_stats["track_times"]
+        # NOTE: pipelined per-frame times include cross-scene batching waits;
+        # the end-to-end "Eval took" wall clock is the throughput number.
+        return 0.0 if not tt else 1.0 / (sum(tt) / len(tt))
+
+    def _avg_kp_std(self):
+        if self.object_slam is not None:
+            return self.object_slam.avg_kp_std()
+        s, n = self._pipe_stats["std_sum"], self._pipe_stats["std_n"]
+        return 0.0 if n == 0 else s / n
 
     def _write_viz(self, outdir, scene_id, j, view_id, results):
         """3-panel viz image per frame (`evaluate.py:202-229` in the
@@ -443,6 +573,44 @@ class Evaluator:
             )
         return np.asarray(obj_ids, np.int64), np.asarray(bboxes), sample
 
+    _MISSING = object()
+
+    def _feed_view(self, engine, scene_id, view_id_k, first_for_gt_cam=-1,
+                   inputs=_MISSING, store_last=True):
+        """Load one view's detections and feed `engine.process_view`.
+
+        Returns False when the view has no usable detections. Shared by the
+        sequential `_run_slam` and the scene-pipelined workers
+        (`_run_pipelined`), which pass `store_last=False` — the `_last_*`
+        viz state is main-thread-only."""
+        if inputs is self._MISSING:
+            inputs = self._view_inputs(scene_id, view_id_k)
+        if inputs is None:
+            print(f"WARNING no detections for scene {scene_id} view {view_id_k}")
+            return False
+        obj_ids, bboxes, sample = inputs
+        obj_ids = np.asarray(obj_ids)
+        bboxes = np.asarray(bboxes, np.float32)
+        if store_last:
+            self._last_img, self._last_K = sample["img"], sample["K"]
+        cam_pose = None
+        if self.gt_cam_pose:
+            from suo_slam_tpu.data.bop import _to44_cam
+
+            cam_pose = _to44_cam(
+                self.dataset.get_cam_pose(scene_id, view_id_k)
+            ) @ np.linalg.inv(
+                _to44_cam(self.dataset.get_cam_pose(scene_id, first_for_gt_cam))
+            )
+        engine.process_view(
+            view_id_k, sample["img"], sample["K"],
+            np.asarray(obj_ids, np.int64), np.asarray(bboxes),
+            sample["model_kps"], sample["kp_model_masks"], sample["kp_masks"],
+            uv_gt=sample["kp_uvs"] if self.debug_gt_kp else None,
+            cam_pose=cam_pose,
+        )
+        return True
+
     def _run_slam(self, scene_id, views_to_proc):
         if self.nviews > 0:
             self.object_slam.reset()
@@ -450,6 +618,7 @@ class Evaluator:
             assert len(views_to_proc) == 1
         for view_id_k in views_to_proc:
             view_id_k = int(view_id_k)
+            inputs = self._MISSING
             if self.batched_runner is not None:
                 # windowed precompute path: get() runs the network for the
                 # next window on a miss and arms infer_fn for this view
@@ -457,31 +626,10 @@ class Evaluator:
                 inputs = None if ent is None else (
                     ent["obj_ids"], ent["bboxes"], ent["sample"]
                 )
-            else:
-                inputs = self._view_inputs(scene_id, view_id_k)
-            if inputs is None:
-                print(f"WARNING no detections for scene {scene_id} view {view_id_k}")
-                continue
-            obj_ids, bboxes, sample = inputs
-            obj_ids = np.asarray(obj_ids)
-            bboxes = np.asarray(bboxes, np.float32)
-            self._last_img, self._last_K = sample["img"], sample["K"]
-            cam_pose = None
-            if self.gt_cam_pose:
-                from suo_slam_tpu.data.bop import _to44_cam
-
-                first = -1 if self.nviews < 0 else int(views_to_proc[0])
-                cam_pose = _to44_cam(
-                    self.dataset.get_cam_pose(scene_id, view_id_k)
-                ) @ np.linalg.inv(
-                    _to44_cam(self.dataset.get_cam_pose(scene_id, first))
-                )
-            self.object_slam.process_view(
-                view_id_k, sample["img"], sample["K"],
-                np.asarray(obj_ids, np.int64), np.asarray(bboxes),
-                sample["model_kps"], sample["kp_model_masks"], sample["kp_masks"],
-                uv_gt=sample["kp_uvs"] if self.debug_gt_kp else None,
-                cam_pose=cam_pose,
+            first = -1 if self.nviews < 0 else int(views_to_proc[0])
+            self._feed_view(
+                self.object_slam, scene_id, view_id_k,
+                first_for_gt_cam=first, inputs=inputs,
             )
         return self.object_slam.collect_results(last_only=self.nviews < 0)
 
@@ -510,7 +658,7 @@ def main():
         ref_manual_info=args.ref_manual_info,
         viz_cov=args.viz_cov, do_viz_extra=args.do_viz_extra,
         show_viz=args.show_viz, batched=args.batched,
-        eval_window=args.eval_window,
+        eval_window=args.eval_window, pipeline_scenes=args.pipeline_scenes,
     ).run()
 
 

@@ -169,7 +169,6 @@ class ObjectSlam:
         assert config.debug_gt_kp or self._infer is not None, (
             "Need a network unless debug_gt_kp is set"
         )
-        self._key = jax.random.PRNGKey(config.seed)
         self.nk = kp_config.num_kp()
 
         # timing meters (reference `object_slam.py:104-123`)
@@ -184,6 +183,13 @@ class ObjectSlam:
     # ------------------------------------------------------------- state ----
     def reset(self):
         c = self.cfg
+        # Reseed per reset: every scene sees the same RANSAC key stream, so
+        # per-scene results are independent of scene ORDER — a sequential
+        # sweep and the scene-pipelined evaluator (`--pipeline_scenes`)
+        # produce identical output. (The reference seeds once per run,
+        # `evaluate.py:408`, but its RANSAC randomness lives in C++ rand —
+        # the stream position is not part of the behavior contract.)
+        self._key = jax.random.PRNGKey(c.seed)
         self.V = c.view_capacity
         self.O = c.obj_capacity
         K = self.nk

@@ -427,3 +427,118 @@ def make_batch_inference(net, variables, input_hw=(256, 256), int8=False,
 
     fn.int8_state = state
     return fn
+
+
+def make_multi_frame_inference(net, variables, input_hw=(256, 256), int8=False,
+                               int8_scales=None):
+    """Multi-FRAME network call WITH priors for the scene-pipelined SLAM
+    evaluator (`evaluate.py --pipeline_scenes K`).
+
+    Where `make_batch_inference` packs a window of PRIOR-FREE views (the
+    single-view sweep), this packs one frame from each of G concurrently
+    running SLAM scenes into one jitted program — ROI crop over [G] images,
+    per-crop prior-heatmap render over the flattened [G*O] batch, and the
+    with-prior executor — so full-SLAM evaluation's per-frame network calls
+    (8-crop buckets, dispatch-latency-bound) run at large-batch throughput.
+    SURVEY §7 hard-part (e): the prior-feedback loop makes each SCENE
+    sequential; throughput comes from batching across scenes.
+
+    Returns fn(imgs [G, H, W, 3], boxes [G, O, 4], valid [G, O],
+    prior_uv [G, O, K, 2], prior_valid [G, O, K], has_prior=True) ->
+    (uv [G, O, K, 2], cov [G, O, K, 2, 2] | None, mask_prob [G, O, K]).
+    has_prior=False dispatches the statically prior-free program (outputs
+    bit-identical to a zero prior, `make_frame_inference` contract), so
+    rounds where NO scene has prior detections compile the prior path away;
+    a mixed round uses the with-prior program with zero-prior rows for the
+    prior-less scenes (again bit-identical for those rows). Scales policy
+    matches `make_batch_inference` (persisted sidecar, else absmax on the
+    first round's crops with the worst-case all-ones prior).
+    """
+    from ..models import int8_forward as i8
+    from ..ops import heatmap as hm
+    from ..ops import roi as roi_ops
+
+    if "params" not in variables:
+        variables = {"params": variables}
+    phw = net.prior_hw(input_hw)
+
+    def crop_stage(imgs, boxes, valid):
+        crops = roi_ops.roi_crop_batch(imgs, boxes, valid, input_hw)
+        return crops.reshape((-1,) + crops.shape[2:])  # [G*O, h, w, 3]
+
+    def prior_stage(prior_uv, prior_valid):
+        nk = prior_uv.shape[-2]
+        return hm.render_prior_heatmaps(
+            prior_uv.reshape((-1, nk, 2)), prior_valid.reshape((-1, nk)),
+            hw=phw, sigma_px=hm.prior_sigma_for(phw),
+        )  # [G*O, ph, pw, K]
+
+    def unflatten(out, g, o):
+        cov = None
+        if out.cov is not None:
+            cov = out.cov.reshape((g, o) + out.cov.shape[1:])
+        return (
+            out.uv.reshape((g, o) + out.uv.shape[1:]),
+            cov,
+            out.kp_mask.reshape((g, o) + out.kp_mask.shape[1:]),
+        )
+
+    if not int8:
+
+        @jax.jit
+        def fn_p(imgs, boxes, valid, prior_uv, prior_valid):
+            crops = crop_stage(imgs, boxes, valid)
+            out = net.apply(variables, crops, prior_stage(prior_uv, prior_valid))
+            return unflatten(out, imgs.shape[0], boxes.shape[1])
+
+        @jax.jit
+        def fn_np(imgs, boxes, valid):
+            out = net.apply(variables, crop_stage(imgs, boxes, valid))
+            return unflatten(out, imgs.shape[0], boxes.shape[1])
+
+        def fn(imgs, boxes, valid, prior_uv, prior_valid, has_prior=True):
+            if has_prior:
+                return fn_p(imgs, boxes, valid, prior_uv, prior_valid)
+            return fn_np(imgs, boxes, valid)
+
+        fn.supports_no_prior = True
+        return fn
+
+    apply_p = i8.make_int8_apply(net)
+    apply_np = i8.make_int8_apply(net, no_prior=True)
+    state = {}
+
+    @jax.jit
+    def run_p(variables_q, scales, imgs, boxes, valid, prior_uv, prior_valid):
+        crops = crop_stage(imgs, boxes, valid)
+        out = apply_p(variables_q, scales, crops,
+                      prior_stage(prior_uv, prior_valid))
+        return unflatten(out, imgs.shape[0], boxes.shape[1])
+
+    @jax.jit
+    def run_np(variables_q, scales, imgs, boxes, valid):
+        out = apply_np(variables_q, scales, crop_stage(imgs, boxes, valid))
+        return unflatten(out, imgs.shape[0], boxes.shape[1])
+
+    if int8_scales is not None:
+        state["scales"] = tuple(jnp.asarray(s) for s in int8_scales)
+
+    def fn(imgs, boxes, valid, prior_uv, prior_valid, has_prior=True):
+        if "scales" not in state:
+            crops = jax.jit(crop_stage)(imgs, boxes, valid)
+            full_uv = jnp.zeros((crops.shape[0], net.num_kp, 2), jnp.float32)
+            full_prior = hm.render_prior_heatmaps(
+                full_uv, jnp.ones((crops.shape[0], net.num_kp), bool),
+                hw=phw, sigma_px=hm.prior_sigma_for(phw),
+            )
+            state["scales"] = i8.calibrate(net, variables, [crops], [full_prior])
+        if "vq" not in state:
+            state["vq"] = i8.quantize_weights(net, variables)
+        if not has_prior:
+            return run_np(state["vq"], state["scales"], imgs, boxes, valid)
+        return run_p(state["vq"], state["scales"], imgs, boxes, valid,
+                     prior_uv, prior_valid)
+
+    fn.int8_state = state
+    fn.supports_no_prior = True
+    return fn

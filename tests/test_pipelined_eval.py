@@ -1,0 +1,257 @@
+"""Scene-pipelined full-SLAM evaluation (`--nviews -1 --pipeline_scenes K`).
+
+The pipeline must be invisible: K scenes run in lockstep with their network
+calls batched into one multi-frame dispatch (eval/pipeline.py), but every
+scene keeps its own engine and the scored artifacts (meters, summary, BOP
+CSV) must MATCH the sequential sweep. Determinism comes from the engine's
+per-reset key reseed (every scene sees the same RANSAC stream regardless of
+order/mode) plus the executor's batch-size invariance (the same property
+test_batched_eval pins for the single-view window).
+"""
+
+import os
+import threading
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from suo_slam_tpu.eval.pipeline import BatchingInferServer, ScenePool
+from suo_slam_tpu.models import PkpNet
+from suo_slam_tpu.models import int8_forward as i8
+from suo_slam_tpu.slam import kernels
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TINY = dict(n_stack=1, n_modules=1, features=32, dtype=jnp.float32)
+
+
+# ------------------------------------------------------------- server unit --
+def _fake_multi_fn(calls):
+    """Deterministic stand-in for make_multi_frame_inference: uv rows encode
+    (scene row index, box x1) so each client can check it got ITS slice."""
+
+    def fn(imgs, boxes, valid, prior_uv, prior_valid, has_prior=True):
+        calls.append(
+            dict(g=int(imgs.shape[0]), o=int(boxes.shape[1]),
+                 has_prior=bool(has_prior))
+        )
+        g, o = boxes.shape[:2]
+        nk = prior_uv.shape[-2]
+        row = jnp.arange(g, dtype=jnp.float32)[:, None, None, None]
+        x1 = boxes[:, :, None, None, 0]
+        uv = jnp.broadcast_to(row, (g, o, nk, 1))
+        uv = jnp.concatenate([uv, jnp.broadcast_to(x1, (g, o, nk, 1))], -1)
+        mask = jnp.ones((g, o, nk), jnp.float32)
+        return uv, None, mask
+
+    return fn
+
+
+def test_batching_server_slices_and_barrier():
+    """3 clients -> ONE dispatch with G=3; each gets its own O-sized slice."""
+    calls = []
+    server = BatchingInferServer(_fake_multi_fn(calls), n_clients=3)
+    img = jnp.zeros((8, 8, 3), jnp.float32)
+    outs = {}
+
+    def client(cid, o):
+        fn = server.client(cid)
+        boxes = jnp.full((o, 4), float(10 * cid))
+        uv, cov, mask = fn(img, boxes, jnp.ones((o,), bool),
+                           jnp.zeros((o, 5, 2)), jnp.zeros((o, 5), bool),
+                           has_prior=(cid == 1))
+        outs[cid] = (np.asarray(uv), cov, np.asarray(mask))
+        server.done(cid)
+
+    threads = [threading.Thread(target=client, args=(cid, o), daemon=True)
+               for cid, o in [(0, 2), (1, 4), (2, 3)]]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+        assert not t.is_alive(), "server deadlocked"
+
+    assert len(calls) == 1, calls  # one dispatch served all three
+    assert calls[0] == {"g": 3, "o": 4, "has_prior": True}  # padded + any()
+    for cid, o in [(0, 2), (1, 4), (2, 3)]:
+        uv, cov, mask = outs[cid]
+        assert uv.shape == (o, 5, 2) and mask.shape == (o, 5)
+        # row index == sorted-cid position; x1 identifies the request
+        np.testing.assert_allclose(uv[..., 0], float(cid))
+        np.testing.assert_allclose(uv[..., 1], float(10 * cid))
+
+
+def test_batching_server_shrinking_barrier():
+    """After a client finishes (done), the remaining ones still dispatch."""
+    calls = []
+    server = BatchingInferServer(_fake_multi_fn(calls), n_clients=2)
+    img = jnp.zeros((8, 8, 3), jnp.float32)
+    server.done(0)  # client 0 never issues a request
+    fn = server.client(1)
+    uv, _, _ = fn(img, jnp.zeros((2, 4)), jnp.ones((2,), bool),
+                  jnp.zeros((2, 5, 2)), jnp.zeros((2, 5), bool))
+    assert uv.shape == (2, 5, 2)
+    # the scene axis still pads to the CONSTRUCTION-time count (stable shape)
+    assert calls == [{"g": 2, "o": 2, "has_prior": True}]
+
+
+def test_scene_pool_propagates_worker_errors():
+    """A worker exception aborts the server (peers wake) and re-raises."""
+    server = BatchingInferServer(_fake_multi_fn([]), n_clients=2)
+    img = jnp.zeros((8, 8, 3), jnp.float32)
+
+    def run_scene(cid, scene_id):
+        if scene_id == "bad":
+            time.sleep(0.2)  # let the peer reach the barrier first
+            raise ValueError("boom")
+        fn = server.client(cid)
+        fn(img, jnp.zeros((1, 4)), jnp.ones((1,), bool),
+           jnp.zeros((1, 5, 2)), jnp.zeros((1, 5), bool))
+        return "ok"
+
+    t0 = time.time()
+    with pytest.raises(ValueError, match="boom"):
+        ScenePool(server, 2).run(["good", "bad"], run_scene)
+    assert time.time() - t0 < 30, "peer hung at the barrier after abort"
+
+
+def test_scene_pool_runs_all_scenes_and_orders_results():
+    pool = ScenePool(None, 2)
+    results = pool.run(list(range(7)), lambda cid, sid: sid * 10)
+    assert results == {i: i * 10 for i in range(7)}
+
+
+# --------------------------------------------------- program equivalence ----
+@pytest.fixture(scope="module")
+def net_v():
+    net = PkpNet(**TINY)
+    v = jax.jit(net.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    return net, v
+
+
+def _frames(seed, g=3, o=2, hw=(96, 128), nk=41):
+    rng = np.random.default_rng(seed)
+    imgs = rng.uniform(0, 1, (g,) + hw + (3,)).astype(np.float32)
+    boxes = np.zeros((g, o, 4), np.float32)
+    for i in range(g):
+        for j in range(o):
+            x1, y1 = rng.uniform(0, 40, 2)
+            boxes[i, j] = (x1, y1, x1 + rng.uniform(30, 60), y1 + rng.uniform(30, 60))
+    valid = np.ones((g, o), bool)
+    puv = rng.uniform(-0.8, 0.8, (g, o, nk, 2)).astype(np.float32)
+    pval = rng.uniform(size=(g, o, nk)) < 0.5
+    return imgs, boxes, valid, puv, pval
+
+
+@pytest.mark.slow  # exact match needs PRODUCTION XLA (see test_batched_eval)
+def test_multi_frame_matches_frame_path_with_priors(net_v):
+    """make_multi_frame_inference == per-frame make_frame_inference crop for
+    crop, WITH priors, bf16 and int8 tiers (int8 shares one scales tuple ->
+    bit-identical); has_prior=False == zero-prior rows."""
+    net, v = net_v
+    imgs, boxes, valid, puv, pval = _frames(0)
+
+    from suo_slam_tpu.ops import roi as roi_ops
+
+    crops = np.asarray(roi_ops.roi_crop_batch(imgs, boxes, valid, (64, 64)))
+    flat = jnp.asarray(crops.reshape((-1,) + crops.shape[2:]))
+    ph, pw = net.prior_hw((64, 64))
+    ones_prior = jnp.ones((flat.shape[0], ph, pw, 41), jnp.float32)
+    scales = i8.calibrate(net, v, [flat], [ones_prior])
+
+    for int8 in (False, True):
+        mfn = kernels.make_multi_frame_inference(
+            net, v, (64, 64), int8=int8, int8_scales=scales if int8 else None
+        )
+        ffn = kernels.make_frame_inference(
+            net, v, (64, 64), int8=int8, int8_scales=scales if int8 else None
+        )
+        uv_m, cov_m, m_m = mfn(jnp.asarray(imgs), jnp.asarray(boxes),
+                               jnp.asarray(valid), jnp.asarray(puv),
+                               jnp.asarray(pval))
+        tol = dict(atol=0.0, rtol=0.0) if int8 else dict(atol=2e-5, rtol=2e-5)
+        for i in range(imgs.shape[0]):
+            uv_f, cov_f, m_f = ffn(
+                jnp.asarray(imgs[i]), jnp.asarray(boxes[i]),
+                jnp.asarray(valid[i]), jnp.asarray(puv[i]), jnp.asarray(pval[i])
+            )
+            np.testing.assert_allclose(np.asarray(uv_m[i]), np.asarray(uv_f), **tol)
+            np.testing.assert_allclose(np.asarray(m_m[i]), np.asarray(m_f), **tol)
+            np.testing.assert_allclose(
+                np.asarray(cov_m[i]), np.asarray(cov_f), **tol
+            )
+        # statically prior-free program == zero-prior rows
+        uv_np, _, m_np = mfn(jnp.asarray(imgs), jnp.asarray(boxes),
+                             jnp.asarray(valid), jnp.asarray(0 * puv),
+                             jnp.asarray(0 * pval), has_prior=False)
+        uv_zp, _, m_zp = mfn(jnp.asarray(imgs), jnp.asarray(boxes),
+                             jnp.asarray(valid), jnp.asarray(puv),
+                             jnp.asarray(0 * pval), has_prior=True)
+        np.testing.assert_allclose(np.asarray(uv_np), np.asarray(uv_zp), **tol)
+        np.testing.assert_allclose(np.asarray(m_np), np.asarray(m_zp), **tol)
+
+
+# ------------------------------------------------------------ e2e parity ----
+@pytest.fixture(scope="module")
+def bop_layout(tmp_path_factory):
+    from tests.helpers.synthetic_bop import write_synthetic_bop
+
+    root = tmp_path_factory.mktemp("pipe_bop")
+    ds_root = root / "bop_datasets" / "ycbv"
+    write_synthetic_bop(str(ds_root), n_scenes=3, n_views=4)
+    os.symlink(
+        ds_root / "models_bop-compat", ds_root / "models_bop-compat_eval",
+        target_is_directory=True,
+    )
+    return str(ds_root)
+
+
+def _run_eval(bop_layout, tmp_path, tag, pipeline_scenes=0):
+    import importlib.util
+    import sys
+
+    sys.argv = ["evaluate.py"]
+    # import OUR evaluate.py by path: the reference-parity tests put
+    # /root/reference on sys.path, where a same-named evaluate.py lives
+    spec = importlib.util.spec_from_file_location(
+        "suo_evaluate_cli", os.path.join(REPO, "evaluate.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    Evaluator = mod.Evaluator
+
+    outdir = tmp_path / tag
+    outdir.mkdir()
+    cwd = os.getcwd()
+    os.chdir(outdir)
+    try:
+        ev = Evaluator(
+            "ycbv", bop_layout, "", nviews=-1, detection_type="gt",
+            debug_gt_kp=True, no_viz=True,
+            kp_config_root=os.path.join(bop_layout, "kp_configs"),
+            pipeline_scenes=pipeline_scenes,
+        )
+        summary = ev.run()
+    finally:
+        os.chdir(cwd)
+    assert summary is not None and "ours" in summary, summary
+    csvs = list(outdir.rglob("*.csv"))
+    assert len(csvs) == 1
+    return summary, csvs[0].read_text()
+
+
+def test_pipelined_matches_sequential_gt_kp(bop_layout, tmp_path):
+    """Full-SLAM over 3 scenes: pipelined (K=2, scenes migrate between
+    workers) reproduces the sequential sweep's summary and BOP CSV exactly.
+    debug_gt_kp isolates the threading/ordering machinery from network
+    numerics (the executor side is pinned by the slow program-equivalence
+    test above + test_batched_eval)."""
+    s_seq, csv_seq = _run_eval(bop_layout, tmp_path, "seq")
+    s_pipe, csv_pipe = _run_eval(bop_layout, tmp_path, "pipe", pipeline_scenes=2)
+    assert csv_pipe == csv_seq
+    assert s_pipe["ours"] == s_seq["ours"]
+    assert s_pipe["cam_pose_pct"] == s_seq["cam_pose_pct"]
