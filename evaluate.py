@@ -112,13 +112,16 @@ class Evaluator:
                 int8_scales_path=scales_path,
             )
             if self.pipeline_scenes > 1:
-                # scene-pipelined full SLAM (eval/pipeline.py): K scenes in
-                # lockstep, one multi-frame network dispatch per round; each
-                # scene keeps its own engine so all SLAM semantics hold
-                if nviews >= 0 or batched:
+                # pipelined evaluation (eval/pipeline.py): K independent
+                # problems (scenes for --nviews -1, keyframes for SfM
+                # --nviews N>1) in lockstep, one multi-frame network dispatch
+                # per round; each problem keeps its own engine so all SLAM
+                # semantics hold
+                if nviews == 1 or batched:
                     raise SystemExit(
-                        "--pipeline_scenes requires --nviews -1 (full SLAM "
-                        "per scene) and is exclusive with --batched"
+                        "--pipeline_scenes requires --nviews -1 (full SLAM) "
+                        "or --nviews N>1 (SfM keyframes); for --nviews 1 "
+                        "use --batched"
                     )
                 if not no_viz:
                     raise SystemExit(
@@ -387,16 +390,36 @@ class Evaluator:
         return num, num_cam
 
     def _run_pipelined(self, scene_ids, csv_lines):
-        """Scene-pipelined full-SLAM sweep (`--pipeline_scenes K`): K worker
-        threads each drive their own per-scene engine; a BatchingInferServer
-        turns the K concurrent per-frame network calls into one multi-frame
-        dispatch (eval/pipeline.py). Scoring stays on the main thread in
-        scene order, so all artifacts match the sequential path."""
+        """Pipelined sweep (`--pipeline_scenes K`): K worker threads each
+        drive their own engine over an independent problem — a whole scene
+        for full SLAM (--nviews -1), one keyframe's N-view re-solve for SfM
+        (--nviews N>1) — and a BatchingInferServer turns the K concurrent
+        per-frame network calls into one multi-frame dispatch
+        (eval/pipeline.py). Scoring stays on the main thread in scene/view
+        order, so all artifacts match the sequential path."""
         from suo_slam_tpu.eval.pipeline import BatchingInferServer, ScenePool
         from suo_slam_tpu.slam import ObjectSlam
         from suo_slam_tpu.slam import kernels as slam_kernels
 
-        K = min(self.pipeline_scenes, len(scene_ids))
+        # Work items. For SfM the extra-view sampling draws from self.rng on
+        # the MAIN thread in the sequential iteration order, so the sampled
+        # view sets are identical to the sequential sweep's.
+        if self.nviews < 0:
+            items = [("scene", scene_id, None) for scene_id in scene_ids]
+        else:
+            items = []
+            for scene_id in scene_ids:
+                view_ids = self.dataset.view_ids(scene_id)
+                for j, view_id in enumerate(view_ids):
+                    views = [int(view_id)]
+                    others = view_ids[:j] + view_ids[j + 1 :]
+                    views += [int(v) for v in self.rng.choice(
+                        others, size=min(self.nviews - 1, len(others)),
+                        replace=False,
+                    )]
+                    items.append(("kf", scene_id, (int(view_id), views)))
+
+        K = min(self.pipeline_scenes, len(items))
         server = None
         if self._pipe["net"] is not None:
             scales = None
@@ -410,35 +433,66 @@ class Evaluator:
                 int8=self._pipe["int8"], int8_scales=scales,
             )
             server = BatchingInferServer(multi_fn, K)
-        print(f"Pipelining {len(scene_ids)} scenes over {K} workers"
+        kind = "scenes" if self.nviews < 0 else "SfM keyframes"
+        print(f"Pipelining {len(items)} {kind} over {K} workers"
               + (" (batched network dispatch)" if server else ""))
 
-        def run_scene(cid, scene_id):
+        def run_item(cid, item):
+            _, scene_id, payload = item
             eng = ObjectSlam(
                 self._pipe["cfg"], mesh_db=self.mesh_db,
                 infer_fn=None if server is None else server.client(cid),
             )
-            scene_results = []
-            for view_id in self.dataset.view_ids(scene_id):
-                view_id = int(view_id)
-                gt_obj_ids = self.dataset.obj_ids(scene_id, view_id)
-                self._feed_view(eng, scene_id, view_id, store_last=False)
-                results = eng.collect_results(last_only=True)
-                if len(results) == 0:
-                    continue
-                scene_results.append((view_id, None, gt_obj_ids))
-            return {
-                "scene_results": scene_results,
-                "final": eng.collect_results(final=True),
+            stats = lambda: {
                 "track_times": list(eng.track_times),
-                "std_sum": eng.avg_std_sum,
-                "std_n": eng.avg_std_n,
+                "std_sum": eng.avg_std_sum, "std_n": eng.avg_std_n,
+            }
+            if self.nviews < 0:
+                scene_results = []
+                for view_id in self.dataset.view_ids(scene_id):
+                    view_id = int(view_id)
+                    gt_obj_ids = self.dataset.obj_ids(scene_id, view_id)
+                    self._feed_view(eng, scene_id, view_id, store_last=False)
+                    results = eng.collect_results(last_only=True)
+                    if len(results) == 0:
+                        continue
+                    scene_results.append((view_id, None, gt_obj_ids))
+                return {
+                    "scene_results": scene_results,
+                    "final": eng.collect_results(final=True),
+                    **stats(),
+                }
+            # SfM keyframe: fresh engine == sequential's reset-per-keyframe
+            view_id, views = payload
+            for v in views:
+                self._feed_view(eng, scene_id, v,
+                                first_for_gt_cam=views[0], store_last=False)
+            results = eng.collect_results(last_only=False)
+            if len(results) == 0:
+                return {"kf": None, **stats()}
+            return {
+                "kf": (view_id, results[view_id]["poses"],
+                       self.dataset.obj_ids(scene_id, view_id)),
+                **stats(),
             }
 
-        results = ScenePool(server, K).run(scene_ids, run_scene)
+        # ScenePool keys results by the work item; the SfM payload holds an
+        # unhashable view list, so key by (kind, scene, keyframe) instead
+        keyed = [(it[0], it[1], it[2] if it[0] == "scene" else it[2][0])
+                 for it in items]
+        by_key = dict(zip(keyed, items))
+        results = ScenePool(server, K).run(
+            keyed, lambda cid, key: run_item(cid, by_key[key])
+        )
 
         num = num_cam = 0
         self._pipe_stats = {"track_times": [], "std_sum": 0.0, "std_n": 0}
+
+        def absorb(r):
+            self._pipe_stats["track_times"].extend(r["track_times"])
+            self._pipe_stats["std_sum"] += r["std_sum"]
+            self._pipe_stats["std_n"] += r["std_n"]
+
         for scene_id in scene_ids:
             if self.do_add and self.saved_detections is not None:
                 for view_id in self.dataset.view_ids(scene_id):
@@ -446,17 +500,28 @@ class Evaluator:
                         scene_id, int(view_id),
                         self.dataset.obj_ids(scene_id, int(view_id)),
                     )
-            r = results.get(scene_id)
-            if r is None:
-                continue
-            n, nc = self._score_scene(
-                scene_id, r["scene_results"], r["final"], csv_lines
-            )
+            if self.nviews < 0:
+                r = results.get(("scene", scene_id, None))
+                if r is None:
+                    continue
+                absorb(r)
+                n, nc = self._score_scene(
+                    scene_id, r["scene_results"], r["final"], csv_lines
+                )
+            else:
+                scene_results = []
+                for view_id in self.dataset.view_ids(scene_id):
+                    r = results.get(("kf", scene_id, int(view_id)))
+                    if r is None:
+                        continue
+                    absorb(r)
+                    if r["kf"] is not None:
+                        scene_results.append(r["kf"])
+                n, nc = self._score_scene(
+                    scene_id, scene_results, None, csv_lines
+                )
             num += n
             num_cam += nc
-            self._pipe_stats["track_times"].extend(r["track_times"])
-            self._pipe_stats["std_sum"] += r["std_sum"]
-            self._pipe_stats["std_n"] += r["std_n"]
         return num, num_cam
 
     def _update_saved_det_meter(self, scene_id, view_id, gt_obj_ids):

@@ -117,12 +117,13 @@ def get_args(mode="train", argv_override=None):
         parser.add_argument("--eval_window", type=int, default=16,
                             help="Views per precompute window for --batched.")
         parser.add_argument("--pipeline_scenes", type=int, default=0,
-                            help="Full-SLAM throughput mode (--nviews -1): "
-                                 "run N scenes in lockstep, each on its own "
-                                 "engine, batching their per-frame network "
-                                 "calls into one dispatch (eval/pipeline.py)."
-                                 " Results match the sequential sweep; "
-                                 "0/1 disables.")
+                            help="Throughput mode for --nviews -1 (scenes) "
+                                 "or --nviews N>1 (SfM keyframes): run K "
+                                 "independent problems in lockstep, each on "
+                                 "its own engine, batching their per-frame "
+                                 "network calls into one dispatch "
+                                 "(eval/pipeline.py). Results match the "
+                                 "sequential sweep; 0/1 disables.")
         parser.add_argument("--int8", action="store_true",
                             help="int8-RESIDENT network inference (+82%% over "
                                  "bf16 at accuracy parity, BENCHMARKS.md); "

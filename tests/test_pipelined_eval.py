@@ -210,7 +210,7 @@ def bop_layout(tmp_path_factory):
     return str(ds_root)
 
 
-def _run_eval(bop_layout, tmp_path, tag, pipeline_scenes=0):
+def _run_eval(bop_layout, tmp_path, tag, pipeline_scenes=0, nviews=-1):
     import importlib.util
     import sys
 
@@ -230,7 +230,7 @@ def _run_eval(bop_layout, tmp_path, tag, pipeline_scenes=0):
     os.chdir(outdir)
     try:
         ev = Evaluator(
-            "ycbv", bop_layout, "", nviews=-1, detection_type="gt",
+            "ycbv", bop_layout, "", nviews=nviews, detection_type="gt",
             debug_gt_kp=True, no_viz=True,
             kp_config_root=os.path.join(bop_layout, "kp_configs"),
             pipeline_scenes=pipeline_scenes,
@@ -255,3 +255,16 @@ def test_pipelined_matches_sequential_gt_kp(bop_layout, tmp_path):
     assert csv_pipe == csv_seq
     assert s_pipe["ours"] == s_seq["ours"]
     assert s_pipe["cam_pose_pct"] == s_seq["cam_pose_pct"]
+
+
+def test_pipelined_matches_sequential_sfm(bop_layout, tmp_path):
+    """SfM mode (--nviews 2): keyframes pipeline as independent re-solves.
+    The extra-view sampling draws from the evaluator RNG on the main thread
+    in sequential order, so the sampled view sets — and therefore the
+    summary and CSV — match the sequential sweep exactly."""
+    s_seq, csv_seq = _run_eval(bop_layout, tmp_path, "sfm_seq", nviews=2)
+    s_pipe, csv_pipe = _run_eval(
+        bop_layout, tmp_path, "sfm_pipe", pipeline_scenes=3, nviews=2
+    )
+    assert csv_pipe == csv_seq
+    assert s_pipe["ours"] == s_seq["ours"]
