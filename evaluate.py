@@ -129,6 +129,12 @@ class Evaluator:
                         "the sequential path (drop --pipeline_scenes or "
                         "keep --no_viz)"
                     )
+                if int8 and not scales_path:
+                    print("[evaluate] --pipeline_scenes with int8 ONLINE "
+                          "calibration: scales calibrate on the first "
+                          "batched round, so outputs can differ slightly "
+                          "from the sequential sweep — persist a sidecar "
+                          "(calibrate_int8.py) for exact parity")
                 self._pipe = {
                     "cfg": cfg, "net": net, "params": params, "int8": int8,
                     "scales_path": scales_path,
@@ -275,13 +281,7 @@ class Evaluator:
                 if not self.debug_saved_only:
                     views_to_proc = [view_id]
                     if self.nviews > 1:
-                        others = view_ids[:j] + view_ids[j + 1 :]
-                        views_to_proc += list(
-                            self.rng.choice(
-                                others, size=min(self.nviews - 1, len(others)),
-                                replace=False,
-                            )
-                        )
+                        views_to_proc += self._sample_sfm_views(view_ids, j)
                     results = self._run_slam(scene_id, views_to_proc)
                     if len(results) == 0:
                         continue
@@ -389,6 +389,18 @@ class Evaluator:
                     self.meter.update_no_det([obj_id])
         return num, num_cam
 
+    def _sample_sfm_views(self, view_ids, j):
+        """Extra views for keyframe j's SfM re-solve (`evaluate.py:196-198`).
+
+        Single source for the `self.rng` draw: the sequential loop and the
+        pipelined work-item precompute call THIS in the same iteration
+        order, which is what keeps their sampled view sets — and therefore
+        pipelined==sequential output parity — in lockstep."""
+        others = view_ids[:j] + view_ids[j + 1 :]
+        return list(self.rng.choice(
+            others, size=min(self.nviews - 1, len(others)), replace=False
+        ))
+
     def _run_pipelined(self, scene_ids, csv_lines):
         """Pipelined sweep (`--pipeline_scenes K`): K worker threads each
         drive their own engine over an independent problem — a whole scene
@@ -411,12 +423,9 @@ class Evaluator:
             for scene_id in scene_ids:
                 view_ids = self.dataset.view_ids(scene_id)
                 for j, view_id in enumerate(view_ids):
-                    views = [int(view_id)]
-                    others = view_ids[:j] + view_ids[j + 1 :]
-                    views += [int(v) for v in self.rng.choice(
-                        others, size=min(self.nviews - 1, len(others)),
-                        replace=False,
-                    )]
+                    views = [int(view_id)] + [
+                        int(v) for v in self._sample_sfm_views(view_ids, j)
+                    ]
                     items.append(("kf", scene_id, (int(view_id), views)))
 
         K = min(self.pipeline_scenes, len(items))
@@ -437,12 +446,24 @@ class Evaluator:
         print(f"Pipelining {len(items)} {kind} over {K} workers"
               + (" (batched network dispatch)" if server else ""))
 
+        import threading
+
+        warmed = threading.Event()
+
         def run_item(cid, item):
             _, scene_id, payload = item
             eng = ObjectSlam(
                 self._pipe["cfg"], mesh_db=self.mesh_db,
                 infer_fn=None if server is None else server.client(cid),
             )
+            # the sequential sweep's timing warm-up excludes only the RUN's
+            # first 6 views (one long-lived engine); a fresh engine per work
+            # item would re-exclude per scene/keyframe and starve the
+            # tracking-Hz meter, so pre-warm every engine after the first
+            if warmed.is_set():
+                eng.all_time_num_views = 6
+            else:
+                warmed.set()
             stats = lambda: {
                 "track_times": list(eng.track_times),
                 "std_sum": eng.avg_std_sum, "std_n": eng.avg_std_n,
@@ -493,21 +514,15 @@ class Evaluator:
             self._pipe_stats["std_sum"] += r["std_sum"]
             self._pipe_stats["std_n"] += r["std_n"]
 
+        do_saved = self.do_add and self.saved_detections is not None
         for scene_id in scene_ids:
-            if self.do_add and self.saved_detections is not None:
-                for view_id in self.dataset.view_ids(scene_id):
-                    self._update_saved_det_meter(
-                        scene_id, int(view_id),
-                        self.dataset.obj_ids(scene_id, int(view_id)),
-                    )
             if self.nviews < 0:
                 r = results.get(("scene", scene_id, None))
                 if r is None:
                     continue
                 absorb(r)
-                n, nc = self._score_scene(
-                    scene_id, r["scene_results"], r["final"], csv_lines
-                )
+                scene_results = r["scene_results"]
+                final = r["final"]
             else:
                 scene_results = []
                 for view_id in self.dataset.view_ids(scene_id):
@@ -517,9 +532,14 @@ class Evaluator:
                     absorb(r)
                     if r["kf"] is not None:
                         scene_results.append(r["kf"])
-                n, nc = self._score_scene(
-                    scene_id, scene_results, None, csv_lines
-                )
+                final = None
+            if do_saved:
+                # the sequential loop only reaches the saved-det update for
+                # views whose collect_results was non-empty (the `continue`
+                # above it) — scene_results holds exactly those views
+                for view_id, _, gt_obj_ids in scene_results:
+                    self._update_saved_det_meter(scene_id, view_id, gt_obj_ids)
+            n, nc = self._score_scene(scene_id, scene_results, final, csv_lines)
             num += n
             num_cam += nc
         return num, num_cam

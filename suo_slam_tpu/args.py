@@ -123,7 +123,10 @@ def get_args(mode="train", argv_override=None):
                                  "its own engine, batching their per-frame "
                                  "network calls into one dispatch "
                                  "(eval/pipeline.py). Results match the "
-                                 "sequential sweep; 0/1 disables.")
+                                 "sequential sweep (exactly for bf16 or "
+                                 "int8 with a persisted scales sidecar; "
+                                 "int8 ONLINE calibration sees different "
+                                 "crops per mode). 0/1 disables.")
         parser.add_argument("--int8", action="store_true",
                             help="int8-RESIDENT network inference (+82%% over "
                                  "bf16 at accuracy parity, BENCHMARKS.md); "

@@ -90,6 +90,17 @@ class BatchingInferServer:
 
     # ----------------------------------------------------------- dispatch --
     def _dispatch_locked(self):
+        """Assemble + run the batch. On ANY failure, record the error so the
+        non-dispatching clients (whose requests were already consumed) raise
+        instead of waiting forever — the leader re-raises its own copy."""
+        try:
+            self._dispatch_inner()
+        except BaseException as e:  # noqa: BLE001 — delivered to all waiters
+            self._error = e
+            self._cv.notify_all()
+            raise
+
+    def _dispatch_inner(self):
         reqs = self._pending
         self._pending = {}
         cids = sorted(reqs)

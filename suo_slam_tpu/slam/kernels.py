@@ -369,63 +369,28 @@ def make_batch_inference(net, variables, input_hw=(256, 256), int8=False,
     does not enter per-sample math). Online fallback: absmax calibration on
     the FIRST window's crops with the worst-case all-ones prior (same
     policy as `make_frame_inference`).
+
+    Implemented as the prior-free special case of
+    `make_multi_frame_inference` (ONE copy of the crop/unflatten/int8
+    scaffolding to maintain; has_prior=False dispatches the statically
+    prior-free program, so no prior work exists in the compiled graph).
     """
-    from ..models import int8_forward as i8
-    from ..ops import heatmap as hm
-    from ..ops import roi as roi_ops
-
-    if "params" not in variables:
-        variables = {"params": variables}
-    phw = net.prior_hw(input_hw)
-
-    def crop_stage(imgs, boxes, valid):
-        crops = roi_ops.roi_crop_batch(imgs, boxes, valid, input_hw)
-        return crops.reshape((-1,) + crops.shape[2:])  # [G*O, h, w, 3]
-
-    def unflatten(out, g, o):
-        cov = None
-        if out.cov is not None:
-            cov = out.cov.reshape((g, o) + out.cov.shape[1:])
-        return (
-            out.uv.reshape((g, o) + out.uv.shape[1:]),
-            cov,
-            out.kp_mask.reshape((g, o) + out.kp_mask.shape[1:]),
-        )
-
-    if not int8:
-
-        @jax.jit
-        def fn_bf16(imgs, boxes, valid):
-            out = net.apply(variables, crop_stage(imgs, boxes, valid))
-            return unflatten(out, imgs.shape[0], boxes.shape[1])
-
-        return fn_bf16
-
-    apply_np = i8.make_int8_apply(net, no_prior=True)
-    state = {}
-
-    @jax.jit
-    def run(variables_q, scales, imgs, boxes, valid):
-        out = apply_np(variables_q, scales, crop_stage(imgs, boxes, valid))
-        return unflatten(out, imgs.shape[0], boxes.shape[1])
-
-    if int8_scales is not None:
-        state["scales"] = tuple(jnp.asarray(s) for s in int8_scales)
+    multi = make_multi_frame_inference(
+        net, variables, input_hw, int8=int8, int8_scales=int8_scales
+    )
+    nk = net.num_kp
 
     def fn(imgs, boxes, valid):
-        if "scales" not in state:
-            crops = jax.jit(crop_stage)(imgs, boxes, valid)
-            full_uv = jnp.zeros((crops.shape[0], net.num_kp, 2), jnp.float32)
-            full_prior = hm.render_prior_heatmaps(
-                full_uv, jnp.ones((crops.shape[0], net.num_kp), bool),
-                hw=phw, sigma_px=hm.prior_sigma_for(phw),
-            )
-            state["scales"] = i8.calibrate(net, variables, [crops], [full_prior])
-        if "vq" not in state:
-            state["vq"] = i8.quantize_weights(net, variables)
-        return run(state["vq"], state["scales"], imgs, boxes, valid)
+        g, o = boxes.shape[:2]
+        return multi(
+            imgs, boxes, valid,
+            jnp.zeros((g, o, nk, 2), jnp.float32),
+            jnp.zeros((g, o, nk), bool),
+            has_prior=False,
+        )
 
-    fn.int8_state = state
+    if hasattr(multi, "int8_state"):
+        fn.int8_state = multi.int8_state
     return fn
 
 
