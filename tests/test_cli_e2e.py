@@ -167,9 +167,9 @@ def test_train_val_best_then_int8_eval(bop_layout, tmp_path):
         "--kp_config_root", kp_root, "--checkpoint_path", str(best[0]),
         "--int8", "--no_viz", "--detection_type", "gt", "--no_bf16",
     ]
-    def read_csv_rows():
+    def read_csv_rows(pat="nviews=1-"):
         # outdir sits next to the checkpoint (model_path), shared by runs
-        csvs = list(tmp_path.rglob("pkpnet-*.csv"))
+        csvs = [p for p in tmp_path.rglob("pkpnet-*.csv") if pat in p.name]
         assert len(csvs) == 1, csvs
         return {
             tuple(l.split(",")[:3]): l
@@ -198,6 +198,25 @@ def test_train_val_best_then_int8_eval(bop_layout, tmp_path):
         a = np.fromstring(rows[0][k].split(",")[4], sep=" ")
         b = np.fromstring(rows[1][k].split(",")[4], sep=" ")
         np.testing.assert_allclose(a, b, atol=5e-2, err_msg=f"R row {k}")
+
+    # full-SLAM (--nviews -1) with the SAME int8 sidecar: the
+    # scene-pipelined sweep must reproduce the sequential sweep's BOP CSV
+    # EXACTLY — same executor, same persisted scales, engines reseed per
+    # reset (the serving-path exactness claim in docs/SERVING.md). Both
+    # runs share the method outdir, so capture the CSV between them.
+    cmd_slam = [
+        sys.executable, os.path.join(REPO, "evaluate.py"),
+        "--nviews", "-1", "--dataset", "ycbv", "--data_root", bop_layout,
+        "--kp_config_root", kp_root, "--checkpoint_path", str(best[0]),
+        "--int8", "--no_viz", "--detection_type", "gt", "--no_bf16",
+    ]
+    res_s = _run(cmd_slam, cwd=str(tmp_path), extra_env=env)
+    assert "int8 scales sidecar" in res_s.stdout, res_s.stdout[-2000:]
+    rows_slam_seq = read_csv_rows("nviews=-1")
+    res_p = _run(cmd_slam + ["--pipeline_scenes", "2"],
+                 cwd=str(tmp_path), extra_env=env)
+    assert "Pipelining" in res_p.stdout, res_p.stdout[-2000:]
+    assert read_csv_rows("nviews=-1") == rows_slam_seq
 
 
 def test_train_smoke_and_resume(bop_layout, tmp_path):
