@@ -111,17 +111,23 @@ class Evaluator:
                 int8_inference=int8,
                 int8_scales_path=scales_path,
             )
+            if self.pipeline_scenes > 1 and nviews == 1:
+                # single-view mode has its own throughput path; ignoring
+                # (instead of erroring) keeps one flag set valid for a whole
+                # eval_all_*.sh sweep that mixes --nviews 1 and -1 legs
+                print("[evaluate] --pipeline_scenes has no effect with "
+                      "--nviews 1 (use --batched for the single-view "
+                      "throughput mode); ignoring")
+                self.pipeline_scenes = 0
             if self.pipeline_scenes > 1:
                 # pipelined evaluation (eval/pipeline.py): K independent
                 # problems (scenes for --nviews -1, keyframes for SfM
                 # --nviews N>1) in lockstep, one multi-frame network dispatch
                 # per round; each problem keeps its own engine so all SLAM
                 # semantics hold
-                if nviews == 1 or batched:
+                if batched:
                     raise SystemExit(
-                        "--pipeline_scenes requires --nviews -1 (full SLAM) "
-                        "or --nviews N>1 (SfM keyframes); for --nviews 1 "
-                        "use --batched"
+                        "--pipeline_scenes is exclusive with --batched"
                     )
                 if not no_viz:
                     raise SystemExit(
