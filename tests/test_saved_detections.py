@@ -132,3 +132,45 @@ print('SAVED-DET EVAL OK')
                          capture_output=True, text=True, timeout=600)
     assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-3000:]
     assert "SAVED-DET EVAL OK" in res.stdout
+
+
+@pytest.mark.slow
+def test_saved_detections_pipelined_matches_sequential(bop_layout, tmp_path):
+    """Full-SLAM over saved detections: the pipelined sweep must reproduce
+    the sequential sweep's saved-det meter AND ours meter exactly — the
+    saved-det update is gated on non-empty collect_results in the
+    sequential loop, and the pipelined path must respect the same gate
+    (the parity bug class fixed in the round-4 review)."""
+    code = f"""
+import importlib.util, os, sys, numpy as np
+sys.path.insert(0, {REPO!r})
+sys.argv = ['evaluate.py']
+np.random.seed(666)
+spec = importlib.util.spec_from_file_location(
+    'suo_evaluate_cli', os.path.join({REPO!r}, 'evaluate.py'))
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+
+def run(pipeline):
+    ev = mod.Evaluator('ycbv', {bop_layout!r}, '', nviews=-1,
+                       detection_type='saved', debug_gt_kp=True, no_viz=True,
+                       kp_config_root={os.path.join(bop_layout, 'kp_configs')!r},
+                       pipeline_scenes=pipeline)
+    s = ev.run()
+    assert s is not None and 'ours' in s and 'saved_det' in s, s
+    return s
+
+s_seq = run(0)
+s_pipe = run(2)
+assert s_pipe['ours'] == s_seq['ours'], (s_pipe['ours'], s_seq['ours'])
+assert s_pipe['saved_det'] == s_seq['saved_det'], (
+    s_pipe['saved_det'], s_seq['saved_det'])
+assert s_pipe['cam_pose_pct'] == s_seq['cam_pose_pct']
+print('PIPELINED SAVED-DET PARITY OK')
+"""
+    env = os.environ.copy()
+    env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO})
+    res = subprocess.run([sys.executable, "-c", code], cwd=str(tmp_path),
+                         env=env, capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-3000:]
+    assert "PIPELINED SAVED-DET PARITY OK" in res.stdout
