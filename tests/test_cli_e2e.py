@@ -313,3 +313,49 @@ def test_train_resume_overrides_arch_flags(bop_layout, tmp_path):
     assert "overriding --norm=batch with the checkpoint's recorded 'group'" \
         in res.stdout, res.stdout[-2000:]
     assert "Epoch 1 done" in res.stdout
+
+
+@pytest.fixture(scope="session")
+def tless_layout(tmp_path_factory):
+    """T-LESS BOP layout (models_cad, train/test_primesense, targets json)."""
+    root = tmp_path_factory.mktemp("tless_layout") / "bop_datasets" / "tless"
+    write_synthetic_bop(str(root), n_scenes=1, n_views=3, bop_dset="tless")
+    return str(root)
+
+
+def test_eval_all_tless_sweep_script(tless_layout, tmp_path):
+    """Drive the ACTUAL shipped T-LESS sweep (`scripts/eval_all_tless.sh` —
+    rebuild of the reference 4-method sweep,
+    `/root/reference/scripts/eval_all_tless.sh:21-31`) end-to-end: train a
+    tiny net on train_primesense, then single-view, SLAM, no-prior, no-cov —
+    each with the VSD scoring path — and the table_tless.txt aggregation of
+    BOTH summary.txt and vsd_summary.txt per method. The ycbv twin covers
+    the AUC table path; this covers the T-LESS-specific pieces (targets-json
+    indexing at script level, per-method VSD summaries, the tless outdir
+    glob)."""
+    kp_root = os.path.join(tless_layout, "kp_configs")
+    env = {"SUO_TINY_NET": "1"}
+    _run([
+        sys.executable, os.path.join(REPO, "train.py"),
+        "--dataset", "tless", "--data_root", tless_layout,
+        "--kp_config_root", kp_root,
+        "--batch_size", "2", "--truncate_obj", "3",
+        "--epochs", "1", "--steps_per_epoch", "1", "--no_bf16", "--no_val",
+        "--no_resume",
+    ], cwd=str(tmp_path), extra_env=env)
+    ckpt = list(tmp_path.rglob("model_best"))[0]
+
+    res = _run([
+        "bash", os.path.join(REPO, "scripts", "eval_all_tless.sh"), str(ckpt),
+        "--data_root", tless_layout, "--kp_config_root", kp_root,
+        "--detection_type", "gt", "--no_viz", "--no_bf16",
+    ], cwd=str(tmp_path), extra_env=env)
+    table = ckpt.parent / "table_tless.txt"
+    assert table.is_file(), res.stdout[-3000:]
+    txt = table.read_text()
+    # one summary.txt + one vsd_summary.txt section per sweep method
+    for tag in ["nviews=1", "nviews=-1-det=gt", "NO-PRIOR-DET", "NO-COV"]:
+        assert any(tag in line for line in txt.splitlines()
+                   if line.startswith("====")), (tag, txt[:2000])
+    assert txt.count("==== ") == 8, txt
+    assert txt.count("Mean object recall") == 4, txt
