@@ -35,7 +35,7 @@ class Evaluator:
                  kp_config_root=None, bf16=True, norm="batch", int8=False,
                  int8_scales=None, ref_manual_info=False, viz_cov=False,
                  do_viz_extra=False, show_viz=False, batched=False,
-                 eval_window=16, pipeline_scenes=0):
+                 eval_window=16, pipeline_scenes=0, int8_online_ok=False):
         from suo_slam_tpu.data.bop import BopDataset
         from suo_slam_tpu.data.mesh import load_mesh_db
         from suo_slam_tpu.slam import ObjectSlam, SlamConfig
@@ -136,11 +136,28 @@ class Evaluator:
                         "keep --no_viz)"
                     )
                 if int8 and not scales_path:
-                    print("[evaluate] --pipeline_scenes with int8 ONLINE "
-                          "calibration: scales calibrate on the first "
-                          "batched round, so outputs can differ slightly "
-                          "from the sequential sweep — persist a sidecar "
-                          "(calibrate_int8.py) for exact parity")
+                    # Hard guard (not a warning): online calibration sees
+                    # DIFFERENT crops in sequential vs pipelined mode (the
+                    # first batched round packs one frame from K scenes), so
+                    # the two modes would silently produce different CSVs.
+                    # A persisted sidecar makes them bit-identical; refuse
+                    # unless the caller explicitly accepts the divergence.
+                    if not int8_online_ok:
+                        raise SystemExit(
+                            "--int8 --pipeline_scenes without a scales "
+                            "sidecar: online calibration is mode-dependent "
+                            "(pipelined calibrates on a multi-scene batch, "
+                            "sequential on one scene's first frames), so "
+                            "results would differ from the sequential "
+                            "sweep. Persist a sidecar first:\n"
+                            f"  python calibrate_int8.py {chkpt_path} "
+                            "--dataset <dataset>\n"
+                            "or pass --int8_online_ok to accept "
+                            "mode-dependent output."
+                        )
+                    print("[evaluate] --int8_online_ok: pipelined online "
+                          "calibration accepted — outputs may differ from "
+                          "the sequential sweep")
                 self._pipe = {
                     "cfg": cfg, "net": net, "params": params, "int8": int8,
                     "scales_path": scales_path,
@@ -750,6 +767,7 @@ def main():
         viz_cov=args.viz_cov, do_viz_extra=args.do_viz_extra,
         show_viz=args.show_viz, batched=args.batched,
         eval_window=args.eval_window, pipeline_scenes=args.pipeline_scenes,
+        int8_online_ok=args.int8_online_ok,
     ).run()
 
 

@@ -125,8 +125,8 @@ def get_args(mode="train", argv_override=None):
                                  "(eval/pipeline.py). Results match the "
                                  "sequential sweep (exactly for bf16 or "
                                  "int8 with a persisted scales sidecar; "
-                                 "int8 ONLINE calibration sees different "
-                                 "crops per mode). 0/1 disables.")
+                                 "int8 WITHOUT a sidecar refuses to run "
+                                 "unless --int8_online_ok). 0/1 disables.")
         parser.add_argument("--int8", action="store_true",
                             help="int8-RESIDENT network inference (+82%% over "
                                  "bf16 at accuracy parity, BENCHMARKS.md); "
@@ -136,6 +136,13 @@ def get_args(mode="train", argv_override=None):
                                  "calibrate_int8.py); default: auto-detect "
                                  "next to the checkpoint, else online "
                                  "first-frames calibration")
+        parser.add_argument("--int8_online_ok", action="store_true",
+                            help="Allow --int8 --pipeline_scenes WITHOUT a "
+                                 "persisted scales sidecar. Online "
+                                 "calibration sees different crops per mode, "
+                                 "so pipelined output diverges from the "
+                                 "sequential sweep; without this flag that "
+                                 "combination refuses to run.")
 
     parser.add_argument("--data_root", default=None,
                         help="Override BOP dataset root (default ./data/bop_datasets/<dataset>).")

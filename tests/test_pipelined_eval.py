@@ -268,3 +268,49 @@ def test_pipelined_matches_sequential_sfm(bop_layout, tmp_path):
     )
     assert csv_pipe == csv_seq
     assert s_pipe["ours"] == s_seq["ours"]
+
+
+def test_int8_pipelined_without_sidecar_refuses(bop_layout, tmp_path,
+                                                monkeypatch):
+    """--int8 --pipeline_scenes with NO persisted scales sidecar must refuse
+    (VERDICT r4 #5): online calibration sees different crops per mode, so a
+    silent run would produce mode-dependent CSVs. --int8_online_ok is the
+    explicit escape hatch (pinned not to raise at the guard)."""
+    import importlib.util
+    import sys
+
+    sys.argv = ["evaluate.py"]
+    spec = importlib.util.spec_from_file_location(
+        "suo_evaluate_cli_guard", os.path.join(REPO, "evaluate.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from suo_slam_tpu.eval import loading as loading_mod
+
+    net = PkpNet(norm="batch", **TINY)
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    monkeypatch.setattr(
+        loading_mod, "load_eval_network", lambda *a, **k: (net, v, 7)
+    )
+
+    kw = dict(
+        nviews=-1, detection_type="gt", no_viz=True,
+        kp_config_root=os.path.join(bop_layout, "kp_configs"),
+        pipeline_scenes=2, int8=True,
+    )
+    with pytest.raises(SystemExit, match="calibrate_int8"):
+        mod.Evaluator("ycbv", bop_layout, "ckpt-that-has-no-sidecar", **kw)
+
+    # escape hatch: the guard itself must not fire with --int8_online_ok
+    # (construction may proceed past it; stop at the first post-guard step
+    # by running in a scratch cwd and not calling run())
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        mod.Evaluator(
+            "ycbv", bop_layout, "ckpt-that-has-no-sidecar",
+            int8_online_ok=True, **kw,
+        )
+    finally:
+        os.chdir(cwd)
