@@ -3,14 +3,19 @@ camera RANSAC, reinit/removal, tracking + global BA.
 
 TPU-native rebuild of the reference runtime (`lib/object_slam.py:51-1167`).
 The state machine (which objects/views exist, success/failure branching) is
-thin host Python; every numeric path is a batched jitted kernel:
+thin host Python; every numeric path is a batched jitted kernel, and a frame
+costs exactly TWO blocking host syncs (the north star's "no host round-trips
+per frame", vs the reference's Python<->C++ hop per stage):
 
-- network + filtering: `kernels.make_frame_inference` / `filter_keypoints`
-- per-object PnP: `kernels.pnp_frame` (replaces lambdatwist C++ per-object)
-- camera-pose hypothesis RANSAC: `kernels.camera_pose_ransac`
-- re-initialization voting: `kernels.reinit_counts`
-- bundle adjustment: `solvers.ba.optimize` over fixed-capacity [V, O, K]
-  measurement buffers (replaces g2o graph build + Cholmod LM entirely)
+- sync 1 — non-symmetric group: network inference chained into
+  `kernels.frontend_step` (keypoint filter -> batched PnP -> information ->
+  camera-pose RANSAC) with one `jax.device_get` of the small result pytree.
+- sync 2 — `kernels.tracking_tail`: the symmetric group's (already
+  dispatched, unread) network+PnP outputs are scattered into the device
+  mirrors in-kernel, then re-init voting and the tracking BA run on them;
+  one combined readback covers the sym results + BA'd camera pose.
+- global BA every `global_opt_every` frames: `solvers.ba.optimize` over the
+  fixed-capacity [V, O, K] mirrors (replaces g2o graph build + Cholmod LM).
 
 Graph measurement buffers live in padded numpy arrays on the host (the
 source of truth for control logic, cheap slot writes per frame) with
@@ -345,6 +350,11 @@ class ObjectSlam:
         self.views_seen.append(view_id)
         self.all_time_num_views += 1
         self.cam_K_full[view_id] = np.asarray(K, np.float64)
+        if not c.debug_gt_kp:
+            # stage the frame ON DEVICE once (both sym/non-sym groups crop
+            # from it; a second host->device upload of a full image per frame
+            # would cost real tunnel bandwidth)
+            img = jnp.asarray(img, jnp.float32)
         obj_ids = np.asarray(obj_ids)
         bboxes = np.array(bboxes, np.float32)
         model_kps = np.asarray(model_kps, np.float32)
@@ -390,19 +400,20 @@ class ObjectSlam:
                 self._set_cam_pose(view_id, np.eye(4))
             else:
                 self._backup_estimate_camera_pose(view_id, obj_ids, bboxes)
+        sym_pending = None
         if is_sym.any() and (self._has_cam_pose(view_id) or c.no_prior_det):
-            self._process_objects(
+            # symmetric group: dispatch the network + PnP chain but DEFER its
+            # readback into the fused tail (sym scatter + reinit + tracking
+            # BA run on its device outputs; one combined host sync)
+            sym_pending = self._group_frontend(
                 True, view_id, img, K, obj_ids[is_sym], bboxes[is_sym],
                 model_kps[is_sym], model_kps_masks[is_sym], kp_masks[is_sym],
                 uv_gt[is_sym] if uv_gt is not None else None,
+                with_cam_ransac=False,
             )
 
         if not c.single_view_mode:
-            self._maybe_reinit_objects(
-                view_id,
-                len(self.view_ids) if c.sfm_mode else c.reinit_check_views,
-            )
-            self.optimize(curr_only=True)
+            self._fused_tail(view_id, sym_pending)
 
         tt1 = _time.perf_counter()
         if self.all_time_num_views > 5:  # warm-up exclusion (`:424-426`)
@@ -432,10 +443,51 @@ class ObjectSlam:
         self, is_sym, view_id, img, K, obj_ids, bboxes, model_kps,
         model_kps_masks, kp_masks, uv_gt=None,
     ):
-        """Network + PnP for one symmetric/non-symmetric group
-        (`lib/object_slam.py:470-593`)."""
+        """Network + PnP + camera-pose RANSAC for the non-symmetric group
+        (`lib/object_slam.py:470-593`) — one device dispatch chain, ONE host
+        sync (the frame's first). The symmetric group instead goes through
+        `_group_frontend` with its readback deferred into `_fused_tail`."""
         if len(obj_ids) == 0:
             return
+        with_cam_ransac = (
+            not self._has_cam_pose(view_id) and self.num_views_processed() > 0
+        )
+        meta, dev = self._group_frontend(
+            is_sym, view_id, img, K, obj_ids, bboxes, model_kps,
+            model_kps_masks, kp_masks, uv_gt, with_cam_ransac,
+        )
+        host = jax.device_get({k: x for k, x in dev.items() if x is not None})
+        host.setdefault("cov", None)
+        self._commit_group(view_id, meta, host, sync=True)
+
+        # ---- camera pose from objects (`object_slam.py:574-580`) ----
+        if not self._has_cam_pose(view_id):
+            if self.num_views_processed() == 0:
+                self._set_cam_pose(view_id, np.eye(4))
+            elif host["cam_ok"]:
+                self._set_cam_pose(view_id, _to44(host["T_cam"]))
+            else:
+                # RANSAC found no camera: no late init for this group; the
+                # caller falls back to the backup pose (`object_slam.py:579`)
+                return
+
+        # late object init (`object_slam.py:581-591`)
+        T_GtoC = _to44(self.cam_T[self.view_slot[view_id]])
+        dets = self.detections[view_id]
+        for obj_id in meta["obj_ids"]:
+            s = self.obj_slot[obj_id]
+            det = dets.get(obj_id)
+            if not self.obj_active[s] and det is not None and det.pose_pnp is not None:
+                self._set_obj_pose(obj_id, np.linalg.inv(T_GtoC) @ det.pose_pnp)
+
+    def _group_frontend(
+        self, is_sym, view_id, img, K, obj_ids, bboxes, model_kps,
+        model_kps_masks, kp_masks, uv_gt, with_cam_ransac,
+    ):
+        """Host prep + the device dispatch chain for one sym/non-sym group:
+        (network inference | GT keypoints) -> `kernels.frontend_step`
+        (filter -> PnP -> info -> optional camera RANSAC). NO host sync —
+        the caller decides when to read the returned device dict back."""
         c = self.cfg
         of = len(obj_ids)
         nk = self.nk
@@ -467,21 +519,32 @@ class ObjectSlam:
                     )
                     prior_valid[i] = m
 
+        # slot assignment BEFORE the chain (host-deterministic: insertion
+        # order, no device values involved)
+        slots = np.empty((of,), np.int32)
+        for i, obj_id in enumerate(int(o) for o in obj_ids):
+            slots[i] = self._ensure_obj_slot(obj_id, model_kps[i], model_kps_masks[i])
+
+        # pad the object batch to a power-of-2 bucket so the jitted programs
+        # see a handful of shapes, not one per object count
+        ob = _bucket(of)
+        pad_slots = np.full((ob,), self.O, np.int32)  # O = dropped in scatter
+        pad_slots[:of] = slots
+
         # ---- network inference or GT keypoints ----
         if c.debug_gt_kp:
             assert uv_gt is not None and kp_masks is not None
             rng = np.random.default_rng(
                 int(jax.random.randint(self._next_key(), (), 0, 2**31 - 1))
             )
-            uv_pred = np.asarray(uv_gt, np.float32) + rng.normal(
+            uv_in = np.asarray(uv_gt, np.float32) + rng.normal(
                 scale=c.gt_kp_noise_std, size=(of, nk, 2)
             ).astype(np.float32)
-            cov_pred = None
-            kp_mask = np.asarray(kp_masks, bool)
+            uv_d = jnp.asarray(_pad0(uv_in, ob))
+            cov_d = None
+            maskp_d = None
+            keep_in = jnp.asarray(_pad0(np.asarray(kp_masks, bool), ob))
         else:
-            # pad the object batch to a power-of-2 bucket so the jitted
-            # network sees a handful of shapes, not one per object count
-            ob = _bucket(of)
             obj_valid = np.zeros((ob,), bool)
             obj_valid[:of] = True
             bx = _pad0(bboxes, ob)
@@ -502,42 +565,53 @@ class ObjectSlam:
                 jnp.asarray(_pad0(prior_valid, ob)),
                 **infer_kw,
             )
-            use_cov = not c.no_network_cov and cov_d is not None
-            keep = kernels.filter_keypoints(
-                uv_d, cov_d if use_cov else None, maskp_d,
-                jnp.asarray(_pad0(model_kps_masks, ob)),
-                c.bbox_thresh, c.kp_var_thresh, c.mask_thresh,
-            )
-            uv_pred = np.asarray(uv_d)[:of]
-            cov_pred = np.asarray(cov_d)[:of] if use_cov else None
-            kp_mask = np.asarray(keep)[:of]
-            if cov_pred is not None:
-                std = np.sqrt(np.maximum(cov_pred[..., (0, 1), (0, 1)], 0.0))[kp_mask]
-                if std.size:
-                    self.avg_std_sum += float(std.mean()) * std.size
-                    self.avg_std_n += std.size
+            if c.no_network_cov:
+                cov_d = None  # manual info + no stdev filter/meter
+            keep_in = None
 
-        # ---- per-object PnP (bucketed batch) ----
-        ob = _bucket(of)
         diams = _pad0(np.asarray([self._diam(o) for o in obj_ids], np.float32), ob)
         diams[of:] = np.inf  # padded slots can never pass the depth gate
-        T_pnp, pnp_ok = kernels.pnp_frame(
-            jnp.asarray(_pad0(model_kps, ob)), jnp.asarray(_pad0(uv_pred, ob)),
-            jnp.asarray(_pad0(kp_mask, ob)), jnp.asarray(_pad0(cam_k4, ob)),
-            jnp.asarray(diams),
-            self._next_key(), n_hyp=c.pnp_hypotheses,
-        )
-        T_pnp = np.asarray(T_pnp)[:of]
-        pnp_ok = np.asarray(pnp_ok)[:of]
-
-        # ---- information matrices ----
-        if cov_pred is not None:
-            info = np.asarray(kernels.info_from_cov(jnp.asarray(cov_pred)))
-        else:
-            info = np.asarray(
-                kernels.manual_info((of, nk), c.manual_kp_std)
+        fs_kw = {}
+        if with_cam_ransac:
+            fs_kw = dict(
+                slots=jnp.asarray(pad_slots),
+                obj_T=jnp.asarray(self.obj_T),
+                obj_active=jnp.asarray(self.obj_active),
+                model_kp_full=self._dev_buf("model_kp"),
             )
-        is_manual = cov_pred is None
+        dev = kernels.frontend_step(
+            uv_d, cov_d, maskp_d, keep_in,
+            jnp.asarray(_pad0(model_kps, ob)),
+            jnp.asarray(_pad0(model_kps_masks, ob)),
+            jnp.asarray(_pad0(cam_k4, ob)),
+            jnp.asarray(diams),
+            self._next_key(),
+            np.float32(c.manual_kp_std), np.float32(c.bbox_thresh),
+            np.float32(c.kp_var_thresh), np.float32(c.mask_thresh),
+            n_hyp=c.pnp_hypotheses, **fs_kw,
+        )
+        meta = dict(
+            of=of, obj_ids=[int(o) for o in obj_ids], bboxes=bboxes,
+            cam_k4=cam_k4, slots=slots, pad_slots=pad_slots,
+            prior_uv=prior_uv, prior_valid=prior_valid,
+        )
+        return meta, dev
+
+    def _commit_group(self, view_id, meta, host, sync):
+        """Host bookkeeping for one group's readback: measurement-buffer row
+        writes, detection records, meters, first-view object init
+        (`object_slam.py:538-556,1140`). sync=False when the device mirrors
+        were already updated in-kernel (the tracking tail's sym scatter)."""
+        of = meta["of"]
+        uv_pred = host["uv"][:of]
+        keep = host["keep"][:of]
+        info = host["info"][:of]
+        T_pnp = host["T_pnp"][:of]
+        pnp_ok = host["pnp_ok"][:of]
+        if host["cov"] is not None:
+            self.avg_std_sum += float(host["std_sum"])
+            self.avg_std_n += int(host["std_cnt"])
+        is_manual = host["cov"] is None
         if self._manual_info_run is None:
             self._manual_info_run = is_manual
         elif self._manual_info_run != is_manual:
@@ -546,51 +620,36 @@ class ObjectSlam:
                 "ref_manual_info BA rescale assumes a uniform info source"
             )
 
-        # ---- write detection slots ----
         dets = self.detections.setdefault(view_id, {})
         v = self._ensure_view_slot(view_id)
-        for i, obj_id in enumerate(int(o) for o in obj_ids):
-            s = self._ensure_obj_slot(obj_id, model_kps[i], model_kps_masks[i])
+        for i, obj_id in enumerate(meta["obj_ids"]):
+            s = meta["slots"][i]
             self.uv[v, s] = uv_pred[i]
             self.info[v, s] = info[i]
-            self.valid[v, s] = kp_mask[i]
-            self.inliers[v, s] = kp_mask[i]  # all start as inliers (`:1140`)
-            self.cam_k4[v, s] = cam_k4[i]
+            self.valid[v, s] = keep[i]
+            self.inliers[v, s] = keep[i]  # all start as inliers (`:1140`)
+            self.cam_k4[v, s] = meta["cam_k4"][i]
             pose = _to44(T_pnp[i]) if pnp_ok[i] else None
             dets[obj_id] = _Detection(
-                bbox=bboxes[i].copy(),
+                bbox=meta["bboxes"][i].copy(),
                 pose_pnp=pose,
-                score=float(kp_mask[i].mean()),
-                prior_uv=prior_uv[i].copy() if prior_valid[i].any() else None,
+                score=float(keep[i].mean()),
+                prior_uv=meta["prior_uv"][i].copy()
+                if meta["prior_valid"][i].any() else None,
             )
             self.obj_num_dets[obj_id] += 1
-            self.obj_num_det_kps[obj_id] += int(kp_mask[i].sum())
-            # first-view object init (`object_slam.py:538-556`)
+            self.obj_num_det_kps[obj_id] += int(keep[i].sum())
+            # first-view object init (`object_slam.py:538-556`; only the
+            # non-symmetric group can run before the first camera pose)
             if self.num_views_processed() == 0 and pose is not None:
                 if self._has_cam_pose(view_id):
                     T_GtoC = _to44(self.cam_T[self.view_slot[view_id]])
                     self._set_obj_pose(obj_id, np.linalg.inv(T_GtoC) @ pose)
                 else:
                     self._set_obj_pose(obj_id, pose)
-        self._sync_view_row(v)
-
-        # ---- camera pose from objects (`object_slam.py:574-580`) ----
-        if not self._has_cam_pose(view_id):
-            if self.num_views_processed() == 0:
-                self._set_cam_pose(view_id, np.eye(4))
-            else:
-                T = self._estimate_camera_pose(view_id)
-                if T is None:
-                    return
-                self._set_cam_pose(view_id, T)
-
-        # late object init (`object_slam.py:581-591`)
-        T_GtoC = _to44(self.cam_T[self.view_slot[view_id]])
-        for obj_id in (int(o) for o in obj_ids):
-            s = self.obj_slot[obj_id]
-            det = dets.get(obj_id)
-            if not self.obj_active[s] and det is not None and det.pose_pnp is not None:
-                self._set_obj_pose(obj_id, np.linalg.inv(T_GtoC) @ det.pose_pnp)
+        if sync:
+            self._sync_view_row(v)
+        return v
 
     def _diam(self, obj_id):
         if self.mesh_db is None:
@@ -606,30 +665,6 @@ class ObjectSlam:
         s = self.obj_slot.get(obj_id)
         if s is not None:
             self.obj_active[s] = False
-
-    # camera pose estimation --------------------------------------------------
-    def _estimate_camera_pose(self, view_id, min_num_inliers=4):
-        """Hypothesis RANSAC over per-object PnP poses
-        (`lib/object_slam.py:975-1072`); scoring fully on device."""
-        dets = self.detections.get(view_id, {})
-        v = self.view_slot[view_id]
-        T_pnp = np.tile(np.eye(4, dtype=np.float32), (self.O, 1, 1))
-        pnp_ok = np.zeros((self.O,), bool)
-        for obj_id, det in dets.items():
-            s = self.obj_slot[obj_id]
-            if det.pose_pnp is not None and self.obj_active[s]:
-                T_pnp[s] = det.pose_pnp
-                pnp_ok[s] = True
-        if not pnp_ok.any():
-            return None
-        T_best, count, ok = kernels.camera_pose_ransac(
-            jnp.asarray(T_pnp), jnp.asarray(pnp_ok),
-            jnp.asarray(self.obj_T), jnp.asarray(self.obj_active & pnp_ok),
-            self._dev_buf("model_kp"), self._dev_buf("uv")[v],
-            self._dev_buf("info")[v], self._dev_buf("inliers")[v],
-            self._dev_buf("cam_k4")[v], min_num_inliers,
-        )
-        return np.asarray(T_best) if bool(ok) else None
 
     def _backup_estimate_camera_pose(self, view_id, obj_ids, bboxes):
         """bbox-centroid PnP -> constant velocity -> hold
@@ -668,146 +703,158 @@ class ObjectSlam:
                 T = _to44(self.cam_T[self.view_slot[self.view_ids[-1]]])
         self._set_cam_pose(view_id, T)
 
-    # reinit ------------------------------------------------------------------
-    def _maybe_reinit_objects(self, view_id, check_n_views):
-        """PnP-vs-map chi2 vote (`lib/object_slam.py:595-697`)."""
-        if self.num_views_processed() < 2 or not self._has_cam_pose(view_id):
+    # fused per-frame tail ------------------------------------------------------
+    def _fused_tail(self, view_id, sym_pending):
+        """Symmetric-group scatter + re-init voting + tracking BA in ONE
+        device dispatch chain ending in the frame's second (final) host sync
+        (`kernels.tracking_tail`; replaces the reference's per-stage
+        Python<->C++ hops, `lib/object_slam.py:595-697` + `:703-930`
+        curr_only path)."""
+        c = self.cfg
+        if len(self.view_ids) == 0 or not self._has_cam_pose(view_id):
+            # nothing to optimize; the symmetric group only runs WITH a pose
+            assert sym_pending is None
             return
-        check_n = min(len(self.view_ids), check_n_views)
-        dets = self.detections.get(view_id, {})
-        cand = [
-            (obj_id, det) for obj_id, det in dets.items()
-            if det.pose_pnp is not None and self.obj_active[self.obj_slot[obj_id]]
-        ]
-        if not cand:
-            return
-        T_GtoC_inv = np.linalg.inv(_to44(self.cam_T[self.view_slot[view_id]]))
-        T_pnp_G = np.tile(np.eye(4, dtype=np.float32), (self.O, 1, 1))
-        sel = np.zeros((self.O,), bool)
-        for obj_id, det in cand:
-            s = self.obj_slot[obj_id]
-            T_pnp_G[s] = T_GtoC_inv @ det.pose_pnp
-            sel[s] = True
+        v = self.view_slot[view_id]
 
-        # fixed-size view window (pad with invalid slots) to keep one jit shape
-        n_fix = _bucket(check_n, lo=self.cfg.reinit_check_views)
-        cs = np.zeros((n_fix,), int)
-        cam_valid = np.zeros((n_fix,), bool)
-        for i in range(check_n):
-            cs[i] = self.view_slot[self.view_ids[-(i + 1)]]
-            cam_valid[i] = self.cam_active[cs[i]]
-        cs_d = jnp.asarray(cs)
-        n_pnp, n_est = kernels.reinit_counts(
-            jnp.asarray(T_pnp_G), jnp.asarray(self.obj_T),
-            jnp.asarray(self.cam_T[cs]), jnp.asarray(cam_valid),
-            self._dev_buf("model_kp"), self._dev_buf("uv")[cs_d],
-            self._dev_buf("info")[cs_d], self._dev_buf("valid")[cs_d],
-            self._dev_buf("cam_k4")[cs_d],
+        sym_dev = None
+        meta_sym = None
+        if sym_pending is not None:
+            meta_sym, dev = sym_pending
+            ob = len(meta_sym["pad_slots"])
+            sym_dev = {
+                "slots": jnp.asarray(meta_sym["pad_slots"]),
+                "uv": dev["uv"], "info": dev["info"], "keep": dev["keep"],
+                "T_pnp": dev["T_pnp"], "pnp_ok": dev["pnp_ok"],
+                "cam_k4": jnp.asarray(_pad0(meta_sym["cam_k4"], ob)),
+            }
+
+        # re-init vote window (`object_slam.py:595-697`); skipped below 2
+        # processed views exactly like the reference
+        reinit_in = None
+        if self.num_views_processed() >= 2:
+            check_n_views = (
+                len(self.view_ids) if c.sfm_mode else c.reinit_check_views
+            )
+            check_n = min(len(self.view_ids), check_n_views)
+            # non-symmetric candidates are host state (committed in phase A);
+            # symmetric candidates join on-device from the pending group
+            cand_sel = np.zeros((self.O,), bool)
+            T_pnp_G = np.tile(np.eye(4, dtype=np.float32), (self.O, 1, 1))
+            T_GtoC_inv = np.linalg.inv(_to44(self.cam_T[v]))
+            for obj_id, det in self.detections.get(view_id, {}).items():
+                s = self.obj_slot[obj_id]
+                if det.pose_pnp is not None and self.obj_active[s]:
+                    T_pnp_G[s] = T_GtoC_inv @ det.pose_pnp
+                    cand_sel[s] = True
+            # fixed-size view window (pad with invalid slots): one jit shape
+            n_fix = _bucket(check_n, lo=c.reinit_check_views)
+            cs = np.zeros((n_fix,), np.int32)
+            cam_valid = np.zeros((n_fix,), bool)
+            for i in range(check_n):
+                cs[i] = self.view_slot[self.view_ids[-(i + 1)]]
+                cam_valid[i] = self.cam_active[cs[i]]
+            reinit_in = {
+                "cand_sel": jnp.asarray(cand_sel),
+                "T_pnp_G": jnp.asarray(T_pnp_G),
+                "cs": jnp.asarray(cs),
+                "cam_valid": jnp.asarray(cam_valid),
+                "cam_T_w": jnp.asarray(self.cam_T[cs]),
+            }
+
+        info_scale = np.float32(
+            c.manual_kp_std ** 2
+            if (c.ref_manual_info and self._manual_info_run)
+            else 1.0
         )
-        n_pnp, n_est = np.asarray(n_pnp), np.asarray(n_est)
-        for obj_id, _ in cand:
-            s = self.obj_slot[obj_id]
-            if n_pnp[s] >= 3 and n_pnp[s] > 3 * n_est[s]:
-                self.obj_T[s] = T_pnp_G[s]
+        mirrors, tail_dev = kernels.tracking_tail(
+            self._dev_buf("uv"), self._dev_buf("info"), self._dev_buf("valid"),
+            self._dev_buf("inliers"), self._dev_buf("cam_k4"),
+            self._dev_buf("model_kp"), jnp.int32(v),
+            jnp.asarray(self.cam_T[v]), jnp.asarray(self.obj_T),
+            jnp.asarray(self.obj_active),
+            sym_dev, reinit_in,
+            info_scale, bool(c.opt_init_with_outliers),
+        )
+        fetch = {"tail": tail_dev}
+        if sym_pending is not None:
+            fetch["sym"] = {k: x for k, x in sym_pending[1].items() if x is not None}
+        host = jax.device_get(fetch)  # the frame's second (final) host sync
+        for name, buf in zip(self._MIRRORED[:5], mirrors):
+            self._dev[name] = buf
+
+        t = host["tail"]
+        if sym_pending is not None:
+            host["sym"].setdefault("cov", None)
+            self._commit_group(view_id, meta_sym, host["sym"], sync=False)
+        # kernel-decided map updates: late inits + re-init votes (values are
+        # where()-passthrough for untouched slots, so a full copy is exact)
+        self.obj_T[...] = t["obj_T"]
+        self.obj_active |= t["late"]
+        # tracking BA writeback (no-op values when the <3-edge gate fired)
+        self.cam_T[v] = t["cam_T_v"]
+        self.inliers[v] = t["inliers_row"]
+        if t["did_opt"]:
+            # min-inlier removal runs after every completed optimize,
+            # tracking included (`lib/object_slam.py:917-930`)
+            self._remove_low_inlier_objects()
 
     # BA ----------------------------------------------------------------------
-    def optimize(self, curr_only=False):
-        """Robust LM over the measurement buffers (`lib/object_slam.py:703-930`)."""
+    def optimize(self):
+        """GLOBAL robust LM over the measurement buffers
+        (`lib/object_slam.py:703-930`). Per-frame tracking (the reference's
+        `optimize(curr_only=True)`) runs inside the fused per-frame tail
+        instead — `kernels.tracking_tail` via `_fused_tail`."""
         if len(self.view_ids) == 0:
             return
         c = self.cfg
-        if curr_only:
-            view_id = self.view_ids[-1]
-            if not self._has_cam_pose(view_id):
-                return
-            v = self.view_slot[view_id]
-            cam_sel = np.zeros((self.V,), bool)
-            cam_sel[v] = True
-            # reference needs >= 3 inlier edges in the current frame (`:730`)
-            if (self.inliers[v] & self.obj_active[None, :, None]).sum() < 3:
-                return
-        else:
-            cam_sel = self.cam_active
 
         cam_frozen = np.zeros((self.V,), bool)
-        if not curr_only and c.max_active_views is not None:
+        if c.max_active_views is not None:
             for view_id_old in self.view_ids[: -c.max_active_views]:
                 cam_frozen[self.view_slot[view_id_old]] = True
 
         # reference-faithful no-cov weighting: stored info is I/sigma^2 (what
         # RANSAC/reinit need); the reference BA uses identity
         # (`object_slam.py:825-828`), so rescale the BA problem's info only.
-        # Applied AFTER any view slicing to keep tracking O(1) in capacity.
         info_scale = (
             self.cfg.manual_kp_std ** 2
             if (self.cfg.ref_manual_info and self._manual_info_run)
             else None
         )
-
-        def _scaled(info):
-            return info if info_scale is None else info * info_scale
-
-        if curr_only:
-            # Tracking optimizes ONE camera over unary edges — slice the
-            # problem to just the current view row so its cost and jit shape
-            # are O(1) in the view capacity. Without this, every per-frame
-            # tracking solve scans the full padded [V, O, K] buffers and
-            # recompiles at each capacity doubling (at V=512 that was ~100x
-            # the useful work on a long sequence).
-            problem = ba.BAProblem(
-                cam_T=jnp.asarray(self.cam_T[v : v + 1]),
-                obj_T=jnp.asarray(self.obj_T),
-                uv=self._dev_buf("uv")[v : v + 1],
-                info=_scaled(self._dev_buf("info")[v : v + 1]),
-                model_kp=self._dev_buf("model_kp"),
-                cam_k=self._dev_buf("cam_k4")[v : v + 1],
-                valid=self._dev_buf("valid")[v : v + 1],
-                inliers=self._dev_buf("inliers")[v : v + 1],
-                cam_active=jnp.ones((1,), bool),
-                obj_active=jnp.asarray(self.obj_active),
-            )
-        else:
-            problem = ba.BAProblem(
-                cam_T=jnp.asarray(self.cam_T),
-                obj_T=jnp.asarray(self.obj_T),
-                uv=self._dev_buf("uv"),
-                info=_scaled(self._dev_buf("info")),
-                model_kp=self._dev_buf("model_kp"),
-                cam_k=self._dev_buf("cam_k4"),
-                valid=self._dev_buf("valid"),
-                inliers=self._dev_buf("inliers"),
-                cam_active=jnp.asarray(cam_sel & self.cam_active),
-                obj_active=jnp.asarray(self.obj_active),
-                cam_frozen=jnp.asarray(cam_frozen),
-            )
-        rounds = (
-            (10, 10, 40, 40)
-            if (c.sfm_mode or (c.slam_mode and not curr_only))
-            else (10, 10, 10, 10)
+        info = self._dev_buf("info")
+        problem = ba.BAProblem(
+            cam_T=jnp.asarray(self.cam_T),
+            obj_T=jnp.asarray(self.obj_T),
+            uv=self._dev_buf("uv"),
+            info=info if info_scale is None else info * info_scale,
+            model_kp=self._dev_buf("model_kp"),
+            cam_k=self._dev_buf("cam_k4"),
+            valid=self._dev_buf("valid"),
+            inliers=self._dev_buf("inliers"),
+            cam_active=jnp.asarray(self.cam_active),
+            obj_active=jnp.asarray(self.obj_active),
+            cam_frozen=jnp.asarray(cam_frozen),
         )
+        rounds = (10, 10, 10, 10) if c.single_view_mode else (10, 10, 40, 40)
         result = ba.optimize(
             problem,
             iters_per_round=rounds,
-            tracking_only=curr_only,
-            fix_first_cam=not curr_only,
-            init_with_outliers=c.opt_init_with_outliers and curr_only,
+            tracking_only=False,
+            fix_first_cam=True,
+            init_with_outliers=False,
         )
         new_cam = np.asarray(result.cam_T)
         new_obj = np.asarray(result.obj_T)
         new_inl = np.asarray(result.inliers)
-        if curr_only:
-            self.cam_T[v] = new_cam[0]
-            self.inliers[v] = new_inl[0]
-            self._sync_view_row(v)
-        else:
-            upd = self.cam_active
-            self.cam_T[upd] = new_cam[upd]
-            self.obj_T[self.obj_active] = new_obj[self.obj_active]
-            self.inliers[self.cam_active] = new_inl[self.cam_active]
-            # masked writeback -> refresh the full inlier mirror (global BA
-            # runs every global_opt_every frames; 1 bool buffer upload)
-            self._dev["inliers"] = jnp.asarray(self.inliers)
-            self._remove_behind_camera()
+        upd = self.cam_active
+        self.cam_T[upd] = new_cam[upd]
+        self.obj_T[self.obj_active] = new_obj[self.obj_active]
+        self.inliers[self.cam_active] = new_inl[self.cam_active]
+        # masked writeback -> refresh the full inlier mirror (global BA
+        # runs every global_opt_every frames; 1 bool buffer upload)
+        self._dev["inliers"] = jnp.asarray(self.inliers)
+        self._remove_behind_camera()
         # min-inlier removal runs after EVERY optimize, tracking included —
         # the reference's block at `lib/object_slam.py:917-930` sits outside
         # the `if not curr_only:` (pinned by

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lie
+from ..solvers import ba
 from ..solvers import pnp as pnp_mod
 from ..solvers.ba import CHI2_THRESH_2DOF
 
@@ -209,6 +210,195 @@ def reinit_counts(
         return jnp.sum(good, axis=(0, 2))  # [O]
 
     return counts_obj(T_pnp_OtoG), counts_obj(T_est_OtoG)
+
+
+@partial(jax.jit, static_argnames=("n_hyp",))
+def frontend_step(
+    uv: jax.Array,            # [ob, K, 2] predicted NDC keypoints
+    cov: jax.Array | None,    # [ob, K, 2, 2] network covariance (None: manual)
+    mask_prob: jax.Array | None,  # [ob, K] validity-head probs (None: debug)
+    keep_in: jax.Array | None,    # [ob, K] precomputed keep (debug_gt_kp)
+    model_kps: jax.Array,     # [ob, K, 3]
+    model_masks: jax.Array,   # [ob, K]
+    cam_k4: jax.Array,        # [ob, 4]
+    diams: jax.Array,         # [ob] (inf for padded slots)
+    key: jax.Array,
+    manual_kp_std,            # traced scalar
+    bbox_thresh, kp_var_thresh, mask_thresh,  # traced scalars
+    slots: jax.Array | None = None,       # [ob] int32 object slots (pad = O)
+    obj_T: jax.Array | None = None,       # [O, 4, 4] map estimates
+    obj_active: jax.Array | None = None,  # [O]
+    model_kp_full: jax.Array | None = None,  # [O, K, 3] slot-indexed mirror
+    n_hyp: int = 64,
+    min_num_inliers=4,
+):
+    """Fused per-group front-end: keypoint filter -> batched PnP ->
+    information matrices -> (optionally) camera-pose RANSAC, with NO host
+    round-trip between the stages (VERDICT r4 item 1; the reference pays a
+    Python<->C++ boundary per stage, `lib/object_slam.py:9-10,1077-1151`).
+
+    The camera RANSAC stage runs when `slots`/`obj_T`/`obj_active`/
+    `model_kp_full` are given (statically, by pytree structure): the
+    frame-local results are scattered into slot-indexed [O] rows (exactly
+    what the host buffer writes + `camera_pose_ransac` over the synced view
+    row used to compute) so the hypothesis scoring is bit-identical to the
+    unfused path.
+
+    Returns a dict of small per-frame arrays — the caller reads them back in
+    ONE `jax.device_get` (the frame's first of two host syncs).
+    """
+    if keep_in is not None:
+        keep = keep_in  # debug_gt_kp: dataset masks as-is (`object_slam.py:1126`)
+    else:
+        keep = filter_keypoints(
+            uv, cov, mask_prob, model_masks,
+            bbox_thresh, kp_var_thresh, mask_thresh,
+        )
+    T_pnp, pnp_ok = pnp_frame(
+        model_kps, uv, keep, cam_k4, diams, key, n_hyp=n_hyp
+    )
+    if cov is not None:
+        info = info_from_cov(cov)
+        std = jnp.sqrt(jnp.maximum(cov[..., (0, 1), (0, 1)], 0.0))
+        std_sum = jnp.sum(jnp.where(keep[..., None], std, 0.0))
+        std_cnt = 2 * jnp.sum(keep)
+    else:
+        info = manual_info(uv.shape[:2], manual_kp_std, dtype=uv.dtype)
+        std_sum = jnp.zeros((), uv.dtype)
+        std_cnt = jnp.zeros((), jnp.int32)
+    out = {
+        "uv": uv, "cov": cov, "keep": keep, "info": info,
+        "T_pnp": T_pnp, "pnp_ok": pnp_ok,
+        "std_sum": std_sum, "std_cnt": std_cnt,
+    }
+    if slots is not None:
+        O = obj_T.shape[0]
+        K = uv.shape[1]
+        dt = uv.dtype
+        at = lambda a: a.at[slots]
+        T_row = at(jnp.tile(jnp.eye(4, dtype=dt), (O, 1, 1))).set(T_pnp, mode="drop")
+        ok_row = at(jnp.zeros((O,), bool)).set(pnp_ok, mode="drop")
+        uv_row = at(jnp.zeros((O, K, 2), dt)).set(uv, mode="drop")
+        info_row = at(jnp.zeros((O, K, 2, 2), dt)).set(info, mode="drop")
+        keep_row = at(jnp.zeros((O, K), bool)).set(keep, mode="drop")
+        k4_row = at(jnp.zeros((O, 4), dt)).set(cam_k4, mode="drop")
+        T_cam, cam_count, cam_ok = camera_pose_ransac(
+            T_row, ok_row, obj_T, obj_active & ok_row, model_kp_full,
+            uv_row, info_row, keep_row, k4_row, min_num_inliers,
+        )
+        out.update({"T_cam": T_cam, "cam_count": cam_count, "cam_ok": cam_ok})
+    return out
+
+
+@partial(jax.jit, static_argnames=("iters_per_round",))
+def tracking_tail(
+    uv_m: jax.Array,       # [V, O, K, 2]   measurement-buffer mirrors
+    info_m: jax.Array,     # [V, O, K, 2, 2]
+    valid_m: jax.Array,    # [V, O, K]
+    inliers_m: jax.Array,  # [V, O, K]
+    cam_k4_m: jax.Array,   # [V, O, 4]
+    model_kp_m: jax.Array,  # [O, K, 3]
+    v,                     # int32 scalar: current view slot
+    cam_T_v: jax.Array,    # [4, 4] current camera pose (host truth)
+    obj_T: jax.Array,      # [O, 4, 4] map poses incl. this frame's non-sym inits
+    obj_active: jax.Array,  # [O]
+    sym: dict | None,      # symmetric-group frontend outputs + "slots"/"cam_k4"
+    reinit: dict | None,   # cand_sel [O], T_pnp_G [O,4,4], cs [n], cam_valid [n],
+                           # cam_T_w [n,4,4]
+    info_scale,            # traced scalar (ref_manual_info rescale, else 1.0)
+    init_with_outliers,    # traced bool
+    iters_per_round: tuple = (10, 10, 10, 10),
+):
+    """Fused per-frame tail: scatter the symmetric group's measurements into
+    the device mirrors -> late object init -> re-init voting -> tracking BA,
+    one dispatch chain ending in the frame's SECOND (final) host sync.
+
+    Replaces the unfused sequence sym-slot-sync + `reinit_counts` +
+    `ba.optimize(curr_only)` (reference: `lib/object_slam.py:595-697` +
+    `:703-930` per frame). Mirrors are returned updated; the small `out`
+    pytree carries everything the host bookkeeping needs (sym results, late
+    inits, reinit decisions, the BA'd camera pose + inlier row).
+    """
+    O, K = model_kp_m.shape[:2]
+    dt = cam_T_v.dtype
+    ok_row = jnp.zeros((O,), bool)
+    T_pnp_row = jnp.tile(jnp.eye(4, dtype=dt), (O, 1, 1))
+    late = jnp.zeros((O,), bool)
+    if sym is not None:
+        sl = sym["slots"]
+        uv_m = uv_m.at[v, sl].set(sym["uv"], mode="drop")
+        info_m = info_m.at[v, sl].set(sym["info"], mode="drop")
+        valid_m = valid_m.at[v, sl].set(sym["keep"], mode="drop")
+        inliers_m = inliers_m.at[v, sl].set(sym["keep"], mode="drop")
+        cam_k4_m = cam_k4_m.at[v, sl].set(sym["cam_k4"], mode="drop")
+        ok_row = ok_row.at[sl].set(sym["pnp_ok"], mode="drop")
+        T_pnp_row = T_pnp_row.at[sl].set(sym["T_pnp"], mode="drop")
+        # late init (`object_slam.py:581-591`): a detected-but-unmapped
+        # object with a successful PnP enters the map at inv(T_GtoC) @ T_pnp
+        late = ok_row & ~obj_active
+        T_init = lie.invert_SE3(cam_T_v)[None] @ T_pnp_row
+        obj_T = jnp.where(late[:, None, None], T_init, obj_T)
+        obj_active = obj_active | late
+
+    reinit_cond = jnp.zeros((O,), bool)
+    if reinit is not None:
+        # chi2 vote over the last-N-views window (`object_slam.py:595-697`).
+        # Candidates: current-frame detections with a PnP pose on an active
+        # object. Freshly late-initialized objects are formal candidates but
+        # can never fire (T_pnp_G == their new map pose -> equal counts).
+        T_pnp_G = jnp.where(
+            reinit["cand_sel"][:, None, None],
+            reinit["T_pnp_G"],
+            lie.invert_SE3(cam_T_v)[None] @ T_pnp_row,
+        )
+        sel = reinit["cand_sel"] | (ok_row & obj_active)
+        cs = reinit["cs"]
+        n_pnp, n_est = reinit_counts(
+            T_pnp_G, obj_T, reinit["cam_T_w"], reinit["cam_valid"],
+            model_kp_m, uv_m[cs], info_m[cs], valid_m[cs], cam_k4_m[cs],
+        )
+        reinit_cond = sel & (n_pnp >= 3) & (n_pnp > 3 * n_est)
+        obj_T = jnp.where(reinit_cond[:, None, None], T_pnp_G, obj_T)
+
+    # tracking BA over the current view row only (O(1) in view capacity)
+    row = lambda a: jax.lax.dynamic_slice_in_dim(a, v, 1, axis=0)
+    uv_r, info_r, valid_r, inl_r, k4_r = (
+        row(uv_m), row(info_m), row(valid_m), row(inliers_m), row(cam_k4_m)
+    )
+    problem = ba.BAProblem(
+        cam_T=cam_T_v[None],
+        obj_T=obj_T,
+        uv=uv_r,
+        info=info_r * info_scale,
+        model_kp=model_kp_m,
+        cam_k=k4_r,
+        valid=valid_r,
+        inliers=inl_r,
+        cam_active=jnp.ones((1,), bool),
+        obj_active=obj_active,
+    )
+    res = ba.optimize(
+        problem, iters_per_round=iters_per_round, tracking_only=True,
+        fix_first_cam=False, init_with_outliers=init_with_outliers,
+    )
+    # reference skips the tracking opt below 3 inlier edges in the current
+    # frame (`object_slam.py:730`); select instead of branching
+    did_opt = jnp.sum(inl_r[0] & obj_active[:, None]) >= 3
+    cam_T_new = jnp.where(did_opt, res.cam_T[0], cam_T_v)
+    inl_new = jnp.where(did_opt, res.inliers[0], inl_r[0])
+    inliers_m = jax.lax.dynamic_update_slice_in_dim(
+        inliers_m, inl_new[None], v, axis=0
+    )
+    mirrors = (uv_m, info_m, valid_m, inliers_m, cam_k4_m)
+    out = {
+        "late": late,
+        "obj_T": obj_T,
+        "reinit_cond": reinit_cond,
+        "did_opt": did_opt,
+        "cam_T_v": cam_T_new,
+        "inliers_row": inl_new,
+    }
+    return mirrors, out
 
 
 def make_frame_inference(net, variables, input_hw=(256, 256), int8=False,
