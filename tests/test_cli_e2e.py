@@ -124,6 +124,43 @@ def test_train_throughput_bench_smoke(tmp_path):
     assert row["metric"] == "train_step_throughput" and row["value"] > 0
 
 
+@pytest.mark.slow  # subprocess with its own jax import + compile
+def test_train_roofline_bench_smoke(tmp_path):
+    """benchmarks/train_roofline.py emits one valid JSON line with the
+    floor decomposition fields (tiny net, CPU smoke)."""
+    env = os.environ.copy()
+    env.update(SUO_TR_TINY="1", SUO_TR_STEPS="2", SUO_BENCH_ALLOW_CPU="1",
+               PYTHONPATH=REPO)
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks/train_roofline.py")],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    row = json.loads(res.stdout.strip().splitlines()[-1])
+    assert row["metric"] == "train_step_roofline" and row["value"] > 0
+    for key in ("nogather_ms", "fwd_only_ms", "floor_compute_ms", "sweep"):
+        assert key in row, row
+    assert len(row["sweep"]) >= 2
+
+
+@pytest.mark.slow  # subprocess with its own jax import + engine compiles
+def test_soak_memory_bench_smoke(tmp_path):
+    """benchmarks/soak_memory.py runs a short sequence and reports RSS
+    telemetry (CPU smoke of the soak battery)."""
+    env = os.environ.copy()
+    env.update(SUO_SM_TINY="1", SUO_SM_CPU="1", PYTHONPATH=REPO)
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks/soak_memory.py")],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    row = json.loads(res.stdout.strip().splitlines()[-1])
+    assert row["metric"] == "soak_memory" and row["views"] == 60
+    assert row["rss_mb"] and row["median_frame_ms_late"] > 0
+
+
 def test_train_val_best_then_int8_eval(bop_layout, tmp_path):
     """Opt-in val-selection story: train (norm=batch default) with the
     held-out validation epoch driving model_best/best.txt/viz_best (via
