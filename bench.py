@@ -218,6 +218,66 @@ def guarded_run(run_fn, metric, unit="crops/sec/chip"):
         release_lock()
 
 
+def measure_rtt(n=10):
+    """Per-call host<->device round trip: tiny jitted add, FETCH-timed."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros(())
+    float(f(x))  # compile + first round trip
+    t0 = time.perf_counter()
+    for _ in range(n):
+        float(f(x))
+    return (time.perf_counter() - t0) / n
+
+
+def fetch_timed(dispatch, n, fetch, rtt=None):
+    """Steady-state seconds/dispatch, completion forced by a real FETCH.
+
+    `dispatch(prev) -> out` enqueues one program (chain state through `prev`
+    when the program supports it; independent dispatches are fine too — the
+    TPU runtime executes enqueued programs in order). After n dispatches,
+    `fetch(out)` must move a small value device->host (e.g. float(out.loss));
+    programs execute atomically and in order, so the fetch returning proves
+    every dispatched program ran to completion.
+
+    Why not jax.block_until_ready: during tunnel degradation (observed
+    2026-08-20) block_until_ready has ACKED BEFORE COMPUTE FINISHED —
+    chained 8192^3 matmuls "completed" at 475 PFLOP/s on a 197 TFLOP/s chip
+    while the actual result fetch took 128 s. A device->host fetch cannot
+    lie the same way: the bytes either arrive or they don't. One fetch RTT
+    (measured, not assumed) is subtracted from the window.
+    """
+    if rtt is None:
+        rtt = measure_rtt()
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n):
+        out = dispatch(out)
+    fetch(out)
+    dt = time.perf_counter() - t0 - rtt
+    return max(dt, 0.0) / n
+
+
+def physics_check(measured_ms, floor_ms, label=""):
+    """Flag walls that beat the hardware floor (a timing artifact, not a win).
+
+    Returns True when the measurement is credible. A measured wall below the
+    analytic compute floor means the timing harness was lied to (see
+    fetch_timed) — callers should mark the row suspect rather than publish it.
+    """
+    if floor_ms > 0 and measured_ms < 0.98 * floor_ms:
+        print(
+            f"warning: {label} measured {measured_ms:.2f} ms beats the "
+            f"{floor_ms:.2f} ms hardware floor — timing suspect (tunnel "
+            "ack-degradation?); row marked suspect_timing",
+            file=sys.stderr,
+        )
+        return False
+    return True
+
+
 def force_cpu_if_allowed():
     """Under SUO_BENCH_ALLOW_CPU, actually force the CPU platform.
 
@@ -274,10 +334,14 @@ def run_bench():
 
     for _ in range(WARMUP):
         float(forward(variables, x, prior))
+    # Fetch-terminated timing (see fetch_timed): the final scalar fetch
+    # proves the in-order program queue drained; block_until_ready alone has
+    # been observed acking early under tunnel degradation.
+    rtt = measure_rtt()
     t0 = time.perf_counter()
     acc = [forward(variables, x, prior) for _ in range(REPEATS)]
-    jax.block_until_ready(acc)
-    dt = (time.perf_counter() - t0) / (REPEATS * N_CHUNKS)
+    float(acc[-1])
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / (REPEATS * N_CHUNKS)
     crops_per_sec = CHUNK / dt
 
     print(json.dumps({

@@ -9,11 +9,21 @@ This benchmark builds the floor argument WITHOUT the profiler, three ways:
   1. subtraction timings — the full step vs a step whose ROI gather +
      prior render are excised (pre-cropped inputs), and vs forward-only:
      isolates the gather cost and the backward cost as untraced wall deltas;
-  2. compiled cost analysis — XLA's own flops / bytes-accessed counts for
-     each program, divided by the chip's peak MXU rate and HBM bandwidth,
-     give the compute floor and the bandwidth floor per step;
+  2. compiled cost analysis — XLA's flops count (validated: CPU-XLA and the
+     TPU executable agree at 27.6 GFLOP/crop forward, ~3x that for
+     fwd+bwd+Adam) divided by the chip's peak bf16 MXU rate gives the
+     compute floor per step. XLA's `bytes accessed` is reported only as a
+     diagnostic: it counts PRE-fusion per-op traffic (every fusion's
+     internals), so it is an upper bound on HBM bytes, not a floor;
   3. a batch/shape sweep — (B frames x O object slots) configs up to the
      inference executor's batch-128 lesson, reporting crops/s at each.
+
+All walls are FETCH-terminated (bench.fetch_timed): a device->host scalar
+fetch ends every timed window, because block_until_ready has been observed
+acking before compute finishes under tunnel degradation (2026-08-20), which
+produced physics-violating walls (33 ms for a 53 ms-floor program). Rows
+whose wall still beats the compute floor are marked `suspect_timing` and
+must not be published (bench.physics_check).
 
 The reference's training meter is sec/it + GPU mem (`train.py:88-100`).
 
@@ -34,9 +44,13 @@ import bench  # noqa: E402  (probe/retry + lock + outage shield)
 STEPS = int(os.environ.get("SUO_TR_STEPS", "10"))
 TINY = bool(int(os.environ.get("SUO_TR_TINY", "0")))
 
-# v5e single-chip peaks (public spec): 197 TFLOP/s bf16, 819 GB/s HBM.
+# v5e single-chip peak (public spec): 197 TFLOP/s bf16. The HBM peak
+# (819 GB/s) is deliberately NOT used for a floor here — XLA's
+# bytes-accessed is pre-fusion traffic (upper bound), and the analytic
+# activation-traffic estimate lands at the same ~50 ms as the compute floor
+# for this net (BENCHMARKS.md "Training step"), so the compute floor is the
+# binding, defensible one.
 PEAK_FLOPS = 197e12
-PEAK_BW = 819e9
 
 
 def log(*a):
@@ -54,17 +68,20 @@ def _cost(compiled):
         return 0.0, 0.0
 
 
-def _time_steps(step, state, batch, epoch, n=STEPS):
-    """Steady-state ms/step: chained donated steps, one terminal block."""
-    import jax
+def _time_steps(step, state, batch, epoch, rtt, n=STEPS):
+    """Steady-state ms/step: chained donated steps, one terminal FETCH.
 
+    Completion is proven by fetching the final state's step counter (a tiny
+    scalar) device->host — see bench.fetch_timed for why block_until_ready
+    is not trusted here. One measured fetch RTT is subtracted.
+    """
     state, _ = step(state, batch, epoch)  # warmup (compile already done)
-    jax.block_until_ready(state)
+    float(state.step)  # fetch: forces the warmup to really finish
     t0 = time.perf_counter()
     for _ in range(n):
         state, _ = step(state, batch, epoch)
-    jax.block_until_ready(state)
-    return 1e3 * (time.perf_counter() - t0) / n
+    float(state.step)
+    return 1e3 * max(time.perf_counter() - t0 - rtt, 0.0) / n
 
 
 def run():
@@ -105,6 +122,9 @@ def run():
             kp_mask=jnp.ones((b, o, 41), bool),
         )
 
+    rtt = bench.measure_rtt()
+    log(f"fetch RTT: {1e3 * rtt:.1f} ms")
+
     # ---- 3. batch sweep of the FULL step (gather + prior + fwd + bwd + Adam)
     sweep = []
     full_rows = {}
@@ -116,21 +136,23 @@ def run():
         lowered = step.lower(state, batch, epoch)
         compiled = lowered.compile()
         flops, bts = _cost(compiled)
-        ms = _time_steps(step, state, batch, epoch)
+        ms = _time_steps(step, state, batch, epoch, rtt)
         row = dict(B=b, O=o, crops=b * o, ms=round(ms, 2),
                    crops_per_s=round(b * o / (ms / 1e3), 0),
                    gflops=round(flops / 1e9, 1),
-                   gbytes=round(bts / 1e9, 3),
-                   floor_compute_ms=round(1e3 * flops / PEAK_FLOPS, 2),
-                   floor_bw_ms=round(1e3 * bts / PEAK_BW, 2))
-        row["floor_ms"] = max(row["floor_compute_ms"], row["floor_bw_ms"])
+                   # pre-fusion per-op traffic: an UPPER bound on HBM bytes
+                   # (fusion internals included), diagnostic only
+                   gbytes_prefusion=round(bts / 1e9, 3),
+                   floor_compute_ms=round(1e3 * flops / PEAK_FLOPS, 2))
         row["mxu_util_pct"] = round(100 * row["floor_compute_ms"] / ms, 1)
+        row["suspect_timing"] = not bench.physics_check(
+            ms, row["floor_compute_ms"], label=f"full step B={b} O={o}")
         sweep.append(row)
         full_rows[(b, o)] = row
         log(f"full step B={b} O={o}: {ms:.2f} ms, {row['crops_per_s']:.0f} "
             f"crops/s, XLA flops {row['gflops']} G -> compute floor "
-            f"{row['floor_compute_ms']} ms, bw floor {row['floor_bw_ms']} ms, "
-            f"MXU util {row['mxu_util_pct']}%")
+            f"{row['floor_compute_ms']} ms, MXU util {row['mxu_util_pct']}%"
+            + (" [SUSPECT]" if row["suspect_timing"] else ""))
 
     # ---- 1a. gather excised: same net/losses on PRE-CROPPED inputs
     b, o = main_cfg
@@ -169,25 +191,41 @@ def run():
     def ng_timed(s, _batch, e):
         return ng_step(s, crops, prior, uv_gt, kp_mask, e)
 
-    ng_ms = _time_steps(ng_timed, state, None, epoch)
+    ng_ms = _time_steps(ng_timed, state, None, epoch, rtt)
+    ng_floor = 1e3 * ng_flops / PEAK_FLOPS
+    ng_ok = bench.physics_check(ng_ms, ng_floor, label="nogather step")
     log(f"gather+prior excised (pre-cropped, B*O={n}): {ng_ms:.2f} ms, "
-        f"XLA flops {ng_flops/1e9:.1f} G")
+        f"XLA flops {ng_flops/1e9:.1f} G"
+        + ("" if ng_ok else " [SUSPECT]"))
 
-    # ---- 1b. forward-only at the same shapes (with gather): backward cost
+    # ---- 1b. forward-only at the same shapes (with gather): backward cost.
+    # The eval step's raw outputs are large [N,41,...] tensors; summing them
+    # to one scalar inside the jit keeps every op live (no DCE) while letting
+    # the fetch-terminated protocol end on a tiny device->host read.
     ev = harness.make_eval_step(net, input_hw=hw)
     batch = make_batch(b, o)
     st0 = harness.init_state(net, jax.random.PRNGKey(0), opt, input_hw=hw)
-    ev_j = jax.jit(lambda bt, e: ev(st0.params, st0.batch_stats, bt, e))
-    ev_compiled = ev_j.lower(batch, epoch).compile()
+
+    @jax.jit
+    def ev_scalar(bt, e):
+        out = ev(st0.params, st0.batch_stats, bt, e)
+        return sum(jnp.sum(jnp.asarray(leaf, jnp.float32))
+                   for leaf in jax.tree.leaves(out))
+
+    ev_compiled = ev_scalar.lower(batch, epoch).compile()
     ev_flops, _ = _cost(ev_compiled)
-    m = ev_j(batch, epoch)
-    jax.block_until_ready(m)
+    float(ev_scalar(batch, epoch))  # warmup + fetch
     t0 = time.perf_counter()
-    outs = [ev_j(batch, epoch) for _ in range(STEPS)]
-    jax.block_until_ready(outs)
-    ev_ms = 1e3 * (time.perf_counter() - t0) / STEPS
+    out = None
+    for _ in range(STEPS):
+        out = ev_scalar(batch, epoch)
+    float(out)
+    ev_ms = 1e3 * max(time.perf_counter() - t0 - rtt, 0.0) / STEPS
+    ev_floor = 1e3 * ev_flops / PEAK_FLOPS
+    ev_ok = bench.physics_check(ev_ms, ev_floor, label="forward-only")
     log(f"forward-only (incl. gather, B*O={n}): {ev_ms:.2f} ms, "
-        f"XLA flops {ev_flops/1e9:.1f} G")
+        f"XLA flops {ev_flops/1e9:.1f} G, compute floor {ev_floor:.2f} ms"
+        + ("" if ev_ok else " [SUSPECT]"))
 
     main = full_rows[main_cfg]
     result = {
@@ -195,6 +233,8 @@ def run():
         "unit": "ms/step",
         "value": main["ms"],
         "config": {"B": b, "O": o, "crops": n},
+        "timing": "fetch-terminated, rtt-subtracted",
+        "rtt_ms": round(1e3 * rtt, 2),
         "full_ms": main["ms"],
         "nogather_ms": round(ng_ms, 2),
         "gather_ms_by_subtraction": round(main["ms"] - ng_ms, 2),
@@ -202,9 +242,10 @@ def run():
         "bwd_opt_ms_by_subtraction": round(main["ms"] - ev_ms, 2),
         "xla_gflops_full": main["gflops"],
         "floor_compute_ms": main["floor_compute_ms"],
-        "floor_bw_ms": main["floor_bw_ms"],
-        "floor_ms": main["floor_ms"],
+        "fwd_floor_compute_ms": round(ev_floor, 2),
         "mxu_util_pct": main["mxu_util_pct"],
+        "suspect_timing": bool(main["suspect_timing"] or not ng_ok
+                               or not ev_ok),
         "sweep": sweep,
     }
     print(json.dumps(result))
