@@ -36,7 +36,12 @@ TINY = bool(int(os.environ.get("SUO_SM_TINY", "0")))
 N_VIEWS = 60 if TINY else int(os.environ.get("SUO_SM_VIEWS", "1200"))
 WINDOW = int(os.environ.get("SUO_SM_WINDOW", "20"))
 if os.environ.get("SUO_SM_CPU"):
+    # The sandbox sitecustomize pre-imports jax on the axon platform, so the
+    # env var alone is too late — force the platform through jax.config.
     os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def log(*a):
