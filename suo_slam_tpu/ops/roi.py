@@ -10,11 +10,14 @@ Formulation — separable bilinear interpolation as two dense matmuls:
     out[i, j, c] = sum_y sum_x  Wy[i, y] * Wx[j, x] * img[y, x, c]
 
 where Wy[i, y] = max(0, 1 - |ys_i - y|) is the bilinear hat weight of source
-row y for output row i (two nonzeros per row), and likewise Wx. This is
-algebraically IDENTICAL to gather-based bilinear sampling with border-clamped
-taps (the coords are clamped into [0, size-1] first, which reproduces the
-replicate-border behavior exactly: a clamped coordinate puts weight 1 on the
-border pixel). The payoff is how it maps to hardware: XLA lowers the pair of
+row y for output row i (two nonzeros per row), and likewise Wx. For sample
+points inside the image this is algebraically IDENTICAL to gather-based
+bilinear sampling (equal to 2e-7 measured); outside, the coordinate itself is
+clamped into [0, size-1], i.e. true replicate padding — the old gather
+formulation clamped indices after the floor, which blended the two edge
+pixels discontinuously for coords in (-1, 0) (see
+tests/test_roi.py::test_out_of_bounds_box_replicates_border). The payoff is
+how it maps to hardware: XLA lowers the pair of
 einsums to MXU dot_generals, and — critically — the BACKWARD pass is just the
 transposed matmuls. The previous gather formulation lowered to pathological
 serialized gather code on TPU and its gradient to an even worse scatter-add
